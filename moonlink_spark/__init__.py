@@ -1,0 +1,25 @@
+"""moonlink_spark — a from-scratch PySpark-native table-maintenance engine.
+
+Reproduces the semantics of nbiscaro/moonlink (a Rust ingestion +
+Iceberg-maintenance engine, see SURVEY.md) as idiomatic Spark batch jobs over a
+minimal Iceberg-v2-style table format implemented here:
+
+- MERGE INTO (CDC upsert/delete batches) with LSN-stamped snapshot commits
+  (reference: src/moonlink/src/storage/mooncake_table.rs:1134-1239)
+- positional deletes as (file, pos) parquet files applied via anti-join on
+  Spark's ``_metadata.row_index``
+  (reference: src/moonlink/src/storage/mooncake_table/delete_vector.rs:8-105)
+- bin-packing compaction, Z-order / Hilbert clustering, manifest rewrite with
+  per-column min/max stats, snapshot expiry
+  (reference: src/moonlink/src/storage/compaction/compactor.rs,
+   src/moonlink/src/storage/iceberg/*)
+- per-partition checkpoint lineage + metrics, idempotent resume
+  (reference WAL: src/moonlink/src/storage/wal.rs)
+
+Everything data-sized runs inside Spark (DataFrame ops, Arrow-vectorized
+pandas UDFs); only metadata (manifest lists, commit CAS) is driver-side.
+"""
+
+__version__ = "0.1.0"
+
+from moonlink_spark.table.catalog import create_table, load_table  # noqa: F401

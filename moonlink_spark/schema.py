@@ -1,0 +1,42 @@
+"""Canonical schemas.
+
+The images table shape is authoritative from BASELINE.json input_hint:
+(image_id string, bytes binary, w int32, h int32, fmt string,
+ caption string, phash int64) — all inside moonlink's supported type envelope
+(reference: src/moonlink/src/row/moonlink_type.rs:5-21).
+
+CDC batch shape mirrors moonlink TableEvents / REST row events
+(reference: src/moonlink/src/table_notify.rs:62-96,
+src/moonlink_connectors/src/rest_ingest/event_request.rs:11-15): ``op`` is
+"U" (upsert) or "D" (delete); updates arrive as delete+append at one LSN like
+the PG sink (src/moonlink_connectors/src/pg_replicate/moonlink_sink.rs:286-317)
+and are collapsed to upserts pre-MERGE.
+"""
+
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MERGE_KEY = "image_id"
+
+IMAGES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("bytes", BinaryType(), True),
+        StructField("w", IntegerType(), True),
+        StructField("h", IntegerType(), True),
+        StructField("fmt", StringType(), True),
+        StructField("caption", StringType(), True),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+CDC_SCHEMA = StructType(
+    [StructField("op", StringType(), False), StructField("lsn", LongType(), False)]
+    + IMAGES_SCHEMA.fields
+)

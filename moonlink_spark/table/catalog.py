@@ -1,0 +1,265 @@
+"""Table handle + optimistic catalog commits.
+
+Commit protocol mirrors moonlink's file catalog CAS
+(reference: src/moonlink/src/storage/iceberg/file_catalog.rs:694-778 — write
+``v{N}.metadata.json`` then conditional-PUT ``version-hint.text``): here the
+exclusive-create (``open(..., 'x')``) of ``v{N+1}.metadata.json`` is the
+compare-and-swap; ``version-hint.text`` is a convenience pointer rewritten
+after. Writers are serialized per table by the engine driver (moonlink's
+single-writer event loop, reference: src/moonlink/src/table_handler.rs:374-411)
+with the CAS as the backstop.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql.types import StructType
+
+from moonlink_spark.table.format import (
+    DATA,
+    DELETES,
+    LSN_PROP,
+    FileEntry,
+    Snapshot,
+    TableMetadata,
+    now_ms,
+    read_manifest,
+    write_manifest,
+)
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same version first."""
+
+
+class Table:
+    def __init__(self, md: TableMetadata):
+        self.md = md
+
+    # ------------------------------------------------------------ accessors
+    @property
+    def location(self) -> str:
+        return self.md.location
+
+    @property
+    def metadata_dir(self) -> str:
+        return os.path.join(self.md.location, "metadata")
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(self.md.schema_json)
+
+    @property
+    def flush_lsn(self) -> int | None:
+        v = self.md.properties.get(LSN_PROP)
+        return int(v) if v is not None else None
+
+    def refresh(self) -> "Table":
+        self.md = _read_current_metadata(self.md.location)
+        return self
+
+    def entries(self, snapshot_id: int | None = None, content: str | None = None) -> list[FileEntry]:
+        snap = (
+            self.md.current_snapshot()
+            if snapshot_id is None
+            else self.md.snapshot_by_id(snapshot_id)
+        )
+        if snap is None:
+            return []
+        out: list[FileEntry] = []
+        for m in snap.manifests:
+            for e in read_manifest(m):
+                if content is None or e.content == content:
+                    out.append(e)
+        return out
+
+    def data_entries(self, snapshot_id: int | None = None) -> list[FileEntry]:
+        return self.entries(snapshot_id, DATA)
+
+    def delete_entries(self, snapshot_id: int | None = None) -> list[FileEntry]:
+        return self.entries(snapshot_id, DELETES)
+
+    def snapshot_at_lsn(self, lsn: int) -> Snapshot:
+        """Latest snapshot whose commit LSN <= lsn — 'read at LSN X sees all
+        commits <= X' (reference: src/moonlink/src/storage/mooncake_table.rs:407-412)."""
+        best = None
+        for s in self.md.snapshots:
+            s_lsn = s.summary.get("lsn")
+            if s_lsn is not None and int(s_lsn) <= lsn:
+                if best is None or s.sequence_number > best.sequence_number:
+                    best = s
+        if best is None:
+            raise KeyError(f"no snapshot at lsn<={lsn}")
+        return best
+
+    # -------------------------------------------------------------- commits
+    def commit(
+        self,
+        operation: str,
+        added: list[FileEntry] | None = None,
+        removed_paths: set[str] | None = None,
+        lsn: int | None = None,
+        summary_extra: dict | None = None,
+        properties: dict | None = None,
+        schema: StructType | None = None,
+    ) -> Snapshot:
+        """Create snapshot N+1 = parent snapshot ± (added, removed).
+
+        - ``added`` entries get ``sequence_number`` = new sequence.
+        - ``removed_paths``: manifests containing any removed file are
+          rewritten without those entries (moonlink's manifest rewrite for
+          removals, reference:
+          src/moonlink/src/storage/iceberg/puffin_writer_proxy.rs:252-352).
+        - LSN monotonicity is asserted like
+          src/moonlink/src/storage/mooncake_table.rs:1223-1228.
+        """
+        md = self.md
+        added = added or []
+        removed_paths = removed_paths or set()
+        seq = md.last_sequence_number + 1
+        snap_id = md.last_snapshot_id + 1
+        parent = md.current_snapshot()
+
+        if lsn is not None and self.flush_lsn is not None and lsn < self.flush_lsn:
+            raise ValueError(
+                f"LSN must be monotone: commit lsn={lsn} < table lsn={self.flush_lsn}"
+            )
+
+        manifests: list[str] = []
+        if parent is not None:
+            for m in parent.manifests:
+                entries = read_manifest(m)
+                if removed_paths and any(e.path in removed_paths for e in entries):
+                    kept = [e for e in entries if e.path not in removed_paths]
+                    if kept:
+                        manifests.append(write_manifest(self.metadata_dir, seq, kept))
+                else:
+                    manifests.append(m)
+        for e in added:
+            e.sequence_number = seq
+        if added:
+            manifests.append(write_manifest(self.metadata_dir, seq, added))
+
+        summary = {
+            "operation": operation,
+            "added-files": len(added),
+            "removed-files": len(removed_paths),
+        }
+        if lsn is not None:
+            summary["lsn"] = int(lsn)
+        elif parent is not None and "lsn" in parent.summary:
+            summary["lsn"] = parent.summary["lsn"]  # carry forward
+        summary.update(summary_extra or {})
+
+        snap = Snapshot(
+            snapshot_id=snap_id,
+            parent_id=parent.snapshot_id if parent else None,
+            sequence_number=seq,
+            timestamp_ms=now_ms(),
+            manifests=manifests,
+            summary=summary,
+        )
+        props = dict(md.properties)
+        if lsn is not None:
+            props[LSN_PROP] = str(int(lsn))
+        props.update(properties or {})
+
+        new_md = TableMetadata(
+            table_uuid=md.table_uuid,
+            location=md.location,
+            schema_json=(schema or self.schema).jsonValue(),
+            version=md.version + 1,
+            last_sequence_number=seq,
+            last_snapshot_id=snap_id,
+            current_snapshot_id=snap_id,
+            snapshots=md.snapshots + [snap],
+            properties=props,
+        )
+        _write_metadata_cas(new_md)
+        self.md = new_md
+        return snap
+
+    def replace_metadata(self, new_md: TableMetadata) -> None:
+        """Direct metadata commit (snapshot expiry / schema evolution path,
+        reference: src/moonlink/src/storage/iceberg/moonlink_catalog.rs:37-47)."""
+        new_md.version = self.md.version + 1
+        _write_metadata_cas(new_md)
+        self.md = new_md
+
+    # ------------------------------------------------------------- fs paths
+    def new_data_dir(self) -> str:
+        p = os.path.join(self.location, "data", uuid.uuid4().hex[:16])
+        os.makedirs(p, exist_ok=True)
+        return p
+
+    def new_delete_dir(self) -> str:
+        p = os.path.join(self.location, "deletes", uuid.uuid4().hex[:16])
+        os.makedirs(p, exist_ok=True)
+        return p
+
+
+# ------------------------------------------------------------------ factory
+
+
+def create_table(location: str, schema: StructType, properties: dict | None = None) -> Table:
+    os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(location, "data"), exist_ok=True)
+    os.makedirs(os.path.join(location, "deletes"), exist_ok=True)
+    md = TableMetadata(
+        table_uuid=uuid.uuid4().hex,
+        location=os.path.abspath(location),
+        schema_json=schema.jsonValue(),
+        version=0,
+        last_sequence_number=0,
+        last_snapshot_id=0,
+        current_snapshot_id=None,
+        snapshots=[],
+        properties=properties or {},
+    )
+    _write_metadata_cas(md)
+    return Table(md)
+
+
+def load_table(location: str) -> Table:
+    return Table(_read_current_metadata(os.path.abspath(location)))
+
+
+# ----------------------------------------------------------------- internal
+
+
+def _metadata_path(location: str, version: int) -> str:
+    return os.path.join(location, "metadata", f"v{version}.metadata.json")
+
+
+def _write_metadata_cas(md: TableMetadata) -> None:
+    path = _metadata_path(md.location, md.version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise CommitConflict(f"version {md.version} already committed") from e
+    with os.fdopen(fd, "w") as f:
+        json.dump(md.to_dict(), f)
+    hint_tmp = os.path.join(md.location, "metadata", f".version-hint.{uuid.uuid4().hex[:8]}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(md.version))
+    os.rename(hint_tmp, os.path.join(md.location, "metadata", "version-hint.text"))
+
+
+def _read_current_metadata(location: str) -> TableMetadata:
+    hint = os.path.join(location, "metadata", "version-hint.text")
+    version = None
+    if os.path.exists(hint):
+        with open(hint) as f:
+            version = int(f.read().strip())
+    # the hint can lag the latest CAS-committed version — scan forward
+    candidates = glob.glob(os.path.join(location, "metadata", "v*.metadata.json"))
+    if not candidates:
+        raise FileNotFoundError(f"not a table: {location}")
+    latest = max(int(os.path.basename(p)[1:].split(".")[0]) for p in candidates)
+    version = latest if version is None or latest > version else version
+    with open(_metadata_path(location, version)) as f:
+        return TableMetadata.from_dict(json.load(f))

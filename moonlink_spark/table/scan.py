@@ -1,0 +1,115 @@
+"""Snapshot scans with positional-delete (deletion vector) application.
+
+The moonlink read path returns {data files, DV blobs, position deletes} and
+the engine applies per-row-group row selections
+(reference: src/moonlink/src/union_read/read_state_manager.rs:90-164,
+src/moonlink_datafusion/src/table_provider.rs:67-173). Spark-first mapping:
+
+    scan = read(data files)
+             .withColumn(__file, _metadata.file_path)   # row identity
+             .withColumn(__pos,  _metadata.row_index)
+             .join(broadcast(delete_rows), on=(__file,__pos), how=left_anti)
+
+The anti-join IS the deletion-vector filter; Spark's vectorized Parquet
+reader + whole-stage codegen keep it JVM-side. Delete sets are broadcast when
+small (the common case — compaction keeps deleted% < 50,
+reference: src/moonlink/src/storage/compaction/compaction_config.rs:47-54),
+else AQE picks a shuffle join.
+
+File pruning: per-file min/max bounds from manifests prune data files before
+the scan starts (the moonlink GlobalIndex's job — locate keys without reading
+everything — done the Spark way, reference:
+src/moonlink/src/storage/index/persisted_bucket_hash_map.rs:25-93).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from moonlink_spark.table.catalog import Table
+from moonlink_spark.table.format import FileEntry
+
+FILE_COL = "__file"
+POS_COL = "__pos"
+
+_BROADCAST_DELETE_ROWS = 20_000_000  # ~300MB of (path,pos) — dict-encoded paths
+
+
+def _norm_path(col: Column) -> Column:
+    return F.regexp_replace(col, r"^file:/+", "/")
+
+
+def prune_entries(
+    entries: list[FileEntry], column: str, lo, hi
+) -> list[FileEntry]:
+    """Keep files whose [min,max] for ``column`` intersects [lo,hi].
+    Files lacking bounds are kept (bounds are an optimization, never filter)."""
+    out = []
+    for e in entries:
+        st = e.stats.get(column)
+        if not st or st.get("min") is None or st.get("max") is None:
+            out.append(e)
+        elif not (st["max"] < lo or st["min"] > hi):
+            out.append(e)
+    return out
+
+
+def scan(
+    spark: SparkSession,
+    table: Table,
+    snapshot_id: int | None = None,
+    columns: list[str] | None = None,
+    with_pos: bool = False,
+    data_entries: list[FileEntry] | None = None,
+) -> DataFrame:
+    """LSN-consistent scan of a snapshot (default: current).
+
+    ``data_entries`` lets callers scan a pruned / selected subset of the
+    snapshot's files (compaction bins, stat-pruned MERGE probes) while still
+    applying the snapshot's deletes correctly.
+    """
+    schema = table.schema
+    entries = data_entries if data_entries is not None else table.data_entries(snapshot_id)
+    delete_entries = table.delete_entries(snapshot_id)
+
+    out_cols = columns or [f.name for f in schema.fields]
+
+    if not entries:
+        empty_schema = StructType(
+            [f for f in schema.fields if f.name in out_cols]
+            + ([StructField(FILE_COL, StringType()), StructField(POS_COL, LongType())] if with_pos else [])
+        )
+        return spark.createDataFrame([], empty_schema)
+
+    df = (
+        spark.read.schema(schema)
+        .parquet(*[e.path for e in entries])
+        .select(
+            *out_cols,
+            _norm_path(F.col("_metadata.file_path")).alias(FILE_COL),
+            F.col("_metadata.row_index").alias(POS_COL),
+        )
+    )
+
+    if delete_entries:
+        n_del = sum(e.record_count for e in delete_entries)
+        dels = spark.read.schema("file_path string, pos long").parquet(
+            *[e.path for e in delete_entries]
+        )
+        # dedup: the same (file,pos) may be deleted in multiple delete files
+        # only via bugs, but the anti-join is idempotent anyway
+        cond = (df[FILE_COL] == dels["file_path"]) & (df[POS_COL] == dels["pos"])
+        if n_del <= _BROADCAST_DELETE_ROWS:
+            dels = F.broadcast(dels)
+        df = df.join(dels, cond, "left_anti")
+
+    if not with_pos:
+        df = df.drop(FILE_COL, POS_COL)
+    return df
+
+
+def scan_at_lsn(spark: SparkSession, table: Table, lsn: int, **kw) -> DataFrame:
+    snap = table.snapshot_at_lsn(lsn)
+    return scan(spark, table, snapshot_id=snap.snapshot_id, **kw)

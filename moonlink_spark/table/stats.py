@@ -1,0 +1,125 @@
+"""Per-file stats collection from Parquet footers — distributed.
+
+Moonlink folds Parquet row-group stats into Iceberg per-column lower/upper
+bounds (reference: src/moonlink/src/storage/iceberg/parquet_stats_utils.rs:327-412,
+``MinMaxColAggregator``). Here executors read footers with pyarrow via
+``mapInPandas`` over the file list, so stats collection scales with the number
+of files (at 10^12-image scale the file list itself is a DataFrame, never a
+driver-side loop over footers).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from moonlink_spark.table.format import DATA, FileEntry
+
+_STATS_SCHEMA = "path string, record_count long, file_size_bytes long, stats_json string"
+
+_TRUNC = 64  # string min/max truncation length (Iceberg-style)
+
+
+def _jsonable(v, is_max: bool):
+    """Make a footer stat JSON-serializable while keeping bound safety:
+    a truncated max must still be >= the true max (round the last char up)."""
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        return None  # no bounds for binary payloads (image bytes)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, str) and len(v) > _TRUNC:
+        if is_max:
+            t = v[:_TRUNC]
+            return t[:-1] + chr(ord(t[-1]) + 1)
+        return v[:_TRUNC]
+    if isinstance(v, float) and (v != v):  # NaN
+        return None
+    return v
+
+
+def _footer_stats(paths: pd.Series) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    rows = []
+    for p in paths:
+        pf = pq.ParquetFile(p)
+        md = pf.metadata
+        agg: dict[str, dict] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name:
+                    continue  # nested — skip bounds
+                st = col.statistics
+                if st is None:
+                    continue
+                a = agg.setdefault(name, {"min": None, "max": None, "nulls": 0})
+                if st.null_count is not None:
+                    a["nulls"] += st.null_count
+                if st.has_min_max:
+                    mn = _jsonable(st.min, is_max=False)
+                    mx = _jsonable(st.max, is_max=True)
+                    if mn is not None and (a["min"] is None or mn < a["min"]):
+                        a["min"] = mn
+                    if mx is not None and (a["max"] is None or mx > a["max"]):
+                        a["max"] = mx
+        rows.append(
+            {
+                "path": p,
+                "record_count": md.num_rows,
+                "file_size_bytes": os.path.getsize(p),
+                "stats_json": json.dumps(agg),
+            }
+        )
+    return pd.DataFrame(rows, columns=["path", "record_count", "file_size_bytes", "stats_json"])
+
+
+def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        yield _footer_stats(b["path"])
+
+
+def collect_file_entries(
+    spark: SparkSession, paths: list[str], content: str = DATA
+) -> list[FileEntry]:
+    """Footer-scan `paths` in executors, return manifest entries."""
+    if not paths:
+        return []
+    if len(paths) <= 8:  # tiny lists: driver-side pyarrow, skip job startup
+        pdf = _footer_stats(pd.Series(paths))
+    else:
+        df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+            min(len(paths), 64)
+        )
+        pdf = df.mapInPandas(_mapper, schema=_STATS_SCHEMA).toPandas()
+    return [
+        FileEntry(
+            content=content,
+            path=r.path,
+            record_count=int(r.record_count),
+            file_size_bytes=int(r.file_size_bytes),
+            sequence_number=-1,  # assigned at commit
+            stats=json.loads(r.stats_json),
+        )
+        for r in pdf.itertuples()
+    ]
+
+
+def stats_dataframe(spark: SparkSession, entries: list[FileEntry]) -> DataFrame:
+    """File-level stats as a DataFrame (for pruning joins / skew metrics)."""
+    rows = [
+        (e.path, e.record_count, e.file_size_bytes, e.sequence_number, json.dumps(e.stats))
+        for e in entries
+    ]
+    return spark.createDataFrame(
+        rows, "path string, record_count long, file_size_bytes long, sequence_number long, stats_json string"
+    )
