@@ -1,0 +1,163 @@
+"""MERGE INTO — apply one CDC upsert/delete batch as a single snapshot commit.
+
+Replaces moonlink's whole ingest pipeline (append/delete/commit/flush +
+index lookup; reference: src/moonlink/src/storage/mooncake_table.rs:1134-1293,
+snapshot deletion resolution src/moonlink/src/storage/mooncake_table/
+snapshot.rs:774-1003) with one merge-on-read batch job:
+
+    cdc ──dedup (latest LSN wins, two-phase salted)──► Δ
+    table keys (column-pruned, stat-pruned scan) ⋈ Δ  ► matched (file,pos)
+    matched ──► positional delete files
+    Δ upserts ──► new data files (size-tuned)
+    one snapshot commit stamped with the batch LSN
+
+Scale notes (10^12-image design point):
+- the probe scan reads ONLY the key column + parquet metadata (column
+  pruning), never the image bytes; files are pre-pruned with manifest
+  min/max bounds of image_id against the batch's key range — the Spark-first
+  analog of moonlink's GlobalIndex probe
+  (src/moonlink/src/storage/index/persisted_bucket_hash_map.rs:276-307).
+- CDC batches far smaller than the table broadcast; bigger batches
+  sort-merge-join with AQE.
+- merge-on-read: a batch commit writes O(batch) bytes, not O(table) —
+  compaction folds deletes in later, exactly moonlink's flush/compaction
+  split.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.checkpoint import JobCheckpoint
+from moonlink_spark.functions.salting import latest_wins_dedup
+from moonlink_spark.schema import MERGE_KEY
+from moonlink_spark.table.catalog import Table
+from moonlink_spark.table.format import FileEntry, Snapshot
+from moonlink_spark.table.scan import FILE_COL, POS_COL, prune_entries, scan
+from moonlink_spark.table.writer import (
+    FLUSH_TARGET_BYTES,
+    write_data_files,
+    write_delete_files,
+)
+
+_BROADCAST_CDC_ROWS = 5_000_000  # key-only probe side
+
+
+@dataclass
+class MergeResult:
+    snapshot: Snapshot | None
+    upserted: int
+    deleted: int
+    matched: int
+    skipped: bool = False  # batch already committed (idempotent re-run)
+    metrics: dict | None = None
+
+
+def merge_cdc_batch(
+    spark: SparkSession,
+    table: Table,
+    cdc_df: DataFrame,
+    lsn: int,
+    key: str = MERGE_KEY,
+    dedup_salt_buckets: int = 16,
+    avg_row_bytes: int = 4096,
+    checkpoint_root: str | None = None,
+) -> MergeResult:
+    """Apply a CDC batch (schema: op, lsn, <table columns>) at commit ``lsn``.
+
+    Idempotent: if the table's flush LSN is already >= ``lsn`` the batch was
+    committed by a previous attempt and this is a no-op (moonlink's WAL-replay
+    guarantee, reference: src/moonlink/src/storage/wal.rs:205-220).
+    """
+    table.refresh()
+    if table.flush_lsn is not None and table.flush_lsn >= lsn:
+        return MergeResult(None, 0, 0, 0, skipped=True)
+
+    ckpt = (
+        JobCheckpoint(checkpoint_root, f"merge-lsn{lsn}") if checkpoint_root else None
+    )
+
+    # 1. latest-wins dedup inside the batch (two-phase, salt-bucketed so a
+    #    hot key's event flood never pins one reducer)
+    deduped = latest_wins_dedup(
+        cdc_df, key, "lsn", tiebreak_col="op", salt_buckets=dedup_salt_buckets
+    ).cache()
+    n_cdc = deduped.count()
+
+    # 2. stat-prune candidate data files by the batch's key range
+    bounds = deduped.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    candidates = (
+        prune_entries(table.data_entries(), key, bounds["lo"], bounds["hi"])
+        if bounds["lo"] is not None
+        else []
+    )
+
+    # 3. probe: column-pruned scan of candidates joined to batch keys
+    cdc_keys = deduped.select(key)
+    if n_cdc <= _BROADCAST_CDC_ROWS:
+        cdc_keys = F.broadcast(cdc_keys)
+    if candidates:
+        probe = scan(
+            spark, table, columns=[key], with_pos=True, data_entries=candidates
+        )
+        matched = probe.join(cdc_keys, key, "inner").select(
+            F.col(FILE_COL).alias("file_path"), F.col(POS_COL).alias("pos")
+        )
+        matched = matched.cache()
+        n_matched = matched.count()
+    else:
+        matched, n_matched = None, 0
+
+    def write_deletes() -> list[FileEntry]:
+        if n_matched == 0:
+            return []
+        return write_delete_files(spark, matched, table.new_delete_dir())
+
+    def write_inserts() -> list[FileEntry]:
+        ups = deduped.filter(F.col("op") == "U").select(
+            *[f.name for f in table.schema.fields]
+        )
+        rows_per_file = max(1024, FLUSH_TARGET_BYTES // avg_row_bytes)
+        n_files = max(1, math.ceil((n_cdc * avg_row_bytes) / FLUSH_TARGET_BYTES))
+        return write_data_files(
+            spark,
+            ups,
+            table.new_data_dir(),
+            num_files=n_files if n_files > 1 else None,
+            max_records_per_file=rows_per_file,
+        )
+
+    src = [e.path for e in candidates]
+    if ckpt:
+        del_entries = ckpt.run("deletes", write_deletes, sources=src).entries
+        ins_entries = ckpt.run("inserts", write_inserts, sources=["cdc"]).entries
+    else:
+        del_entries = write_deletes()
+        ins_entries = write_inserts()
+
+    n_upserted = sum(e.record_count for e in ins_entries)
+    metrics = {
+        "cdc_rows": n_cdc,
+        "matched": n_matched,
+        "upserted": n_upserted,
+        "delete_files": len(del_entries),
+        "data_files": len(ins_entries),
+        "pruned_candidates": len(candidates),
+        "total_data_files": len(table.data_entries()),
+    }
+    snap = table.commit(
+        "merge",
+        added=del_entries + ins_entries,
+        lsn=lsn,
+        summary_extra={"merge-metrics": metrics},
+    )
+    deduped.unpersist()
+    if matched is not None:
+        matched.unpersist()
+    return MergeResult(snap, n_upserted, n_matched, n_matched, metrics=metrics)

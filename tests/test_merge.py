@@ -1,0 +1,131 @@
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.cdc import CdcScheduleGenerator, ReferenceTable, to_spark
+from moonlink_spark.operators.merge import merge_cdc_batch
+from moonlink_spark.schema import IMAGES_SCHEMA
+from moonlink_spark.table.catalog import create_table
+from moonlink_spark.table.scan import scan
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return create_table(str(tmp_path / "t"), IMAGES_SCHEMA)
+
+
+def _check_vs_oracle(spark, table, ref: ReferenceTable):
+    got = (
+        scan(spark, table)
+        .select("image_id", "w", "h", "fmt", "caption", "phash")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    exp = ref.to_pandas()
+    exp_cmp = exp[["image_id", "w", "h", "fmt", "caption", "phash"]].reset_index(drop=True) if len(exp) else exp
+    assert len(got) == len(exp), (len(got), len(exp))
+    if len(got):
+        pd.testing.assert_frame_equal(
+            got.astype({"w": "int64", "h": "int64"}),
+            exp_cmp.astype({"w": "int64", "h": "int64"}),
+            check_dtype=False,
+        )
+
+
+def test_merge_single_batch_insert(spark, table):
+    gen = CdcScheduleGenerator(seed=1)
+    ref = ReferenceTable()
+    b = gen.next_batch(100, 0, 0)
+    ref.apply(b)
+    res = merge_cdc_batch(spark, table, to_spark(spark, b), gen.commit_lsn)
+    assert res.upserted == 100 and res.deleted == 0
+    _check_vs_oracle(spark, table, ref)
+
+
+def test_merge_upsert_delete_sequence(spark, table):
+    gen = CdcScheduleGenerator(seed=2)
+    ref = ReferenceTable()
+    for sizes in [(200, 0, 0), (50, 60, 25), (30, 40, 40), (0, 80, 10)]:
+        b = gen.next_batch(*sizes)
+        ref.apply(b)
+        merge_cdc_batch(spark, table, to_spark(spark, b), gen.commit_lsn)
+        _check_vs_oracle(spark, table, ref)
+
+
+def test_merge_updates_change_payload(spark, table):
+    gen = CdcScheduleGenerator(seed=3)
+    ref = ReferenceTable()
+    b1 = gen.next_batch(50, 0, 0)
+    ref.apply(b1)
+    merge_cdc_batch(spark, table, to_spark(spark, b1), gen.commit_lsn)
+    b2 = gen.next_batch(0, 50, 0)
+    ref.apply(b2)
+    merge_cdc_batch(spark, table, to_spark(spark, b2), gen.commit_lsn)
+    caps = scan(spark, table).select("caption").toPandas()["caption"]
+    assert (caps.str.contains(" v1")).all()
+    _check_vs_oracle(spark, table, ref)
+
+
+def test_merge_idempotent_replay(spark, table):
+    gen = CdcScheduleGenerator(seed=4)
+    b = gen.next_batch(40, 0, 0)
+    lsn = gen.commit_lsn
+    merge_cdc_batch(spark, table, to_spark(spark, b), lsn)
+    res2 = merge_cdc_batch(spark, table, to_spark(spark, b), lsn)
+    assert res2.skipped
+    assert scan(spark, table).count() == 40
+    assert len(table.md.snapshots) == 1
+
+
+def test_merge_intra_batch_dedup(spark, table):
+    # same key appears 3x in one batch: U, D, U — latest LSN wins
+    rows = []
+    for i, op in enumerate(["U", "D", "U"]):
+        rows.append(
+            {
+                "op": op, "lsn": 10 + i, "image_id": "img000000000001",
+                "bytes": b"\x89PNG", "w": 32, "h": 32, "fmt": "png",
+                "caption": f"c{i}", "phash": 7,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["w"] = pdf["w"].astype("Int32"); pdf["h"] = pdf["h"].astype("Int32")
+    from moonlink_spark.schema import CDC_SCHEMA
+    df = spark.createDataFrame(pdf, CDC_SCHEMA)
+    merge_cdc_batch(spark, table, df, 12)
+    got = scan(spark, table).collect()
+    assert len(got) == 1 and got[0]["caption"] == "c2"
+
+
+def test_merge_checkpoint_resume(spark, table, tmp_path):
+    gen = CdcScheduleGenerator(seed=5)
+    b = gen.next_batch(60, 0, 0)
+    lsn = gen.commit_lsn
+    ck = str(tmp_path / "ck")
+    merge_cdc_batch(spark, table, to_spark(spark, b), lsn, checkpoint_root=ck)
+    from moonlink_spark.checkpoint import JobCheckpoint
+    jc = JobCheckpoint(ck, f"merge-lsn{lsn}")
+    m = jc.all_metrics()
+    assert "inserts" in m and m["inserts"]["rows"] == 60
+    assert m["inserts"]["skew_ratio"] >= 1.0
+
+
+def test_merge_pixels_survive(spark, table):
+    from moonlink_spark.datagen import expected_pixels
+    from moonlink_spark.functions.imagecodec import decode, psnr
+
+    gen = CdcScheduleGenerator(seed=6)
+    ref = ReferenceTable()
+    b = gen.next_batch(20, 0, 0)
+    ref.apply(b)
+    merge_cdc_batch(spark, table, to_spark(spark, b), gen.commit_lsn)
+    rows = scan(spark, table).filter(F.col("image_id") == "img000000000007").collect()
+    r = rows[0]
+    px = decode(bytes(r["bytes"]), r["fmt"])
+    exp = expected_pixels(7)
+    if r["fmt"] == "png":
+        assert np.array_equal(px, exp)
+    else:
+        assert psnr(px, exp) >= 40.0
