@@ -1,0 +1,81 @@
+"""Snapshot expiry + orphan file garbage collection.
+
+Mirrors Iceberg expire_snapshots semantics with moonlink's guarantee that
+retained snapshots stay byte-identical (the snapshot-isolation invariant of
+src/moonlink/src/storage/iceberg/file_catalog.rs:694-778): expiry ONLY
+removes snapshots from metadata and deletes files referenced by no retained
+snapshot — it never rewrites live data.
+
+Retention: keep the most recent ``retain_last`` snapshots (current snapshot
+always kept). Orphan sweep covers data files, delete files, and manifests.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from moonlink_spark.table.catalog import Table
+from moonlink_spark.table.format import TableMetadata, read_manifest
+
+
+@dataclass
+class ExpireResult:
+    expired_snapshots: int
+    deleted_data_files: int
+    deleted_manifests: int
+    skipped: bool = False
+
+
+def expire_snapshots(table: Table, retain_last: int = 2) -> ExpireResult:
+    table.refresh()
+    md = table.md
+    if len(md.snapshots) <= retain_last:
+        return ExpireResult(0, 0, 0, skipped=True)
+
+    retained = sorted(md.snapshots, key=lambda s: s.sequence_number)[-retain_last:]
+    retained_ids = {s.snapshot_id for s in retained}
+    if md.current_snapshot_id not in retained_ids:
+        raise AssertionError("current snapshot must be retained")
+    expired = [s for s in md.snapshots if s.snapshot_id not in retained_ids]
+
+    keep_manifests: set[str] = set()
+    keep_files: set[str] = set()
+    for s in retained:
+        for m in s.manifests:
+            keep_manifests.add(m)
+            for e in read_manifest(m):
+                keep_files.add(e.path)
+
+    drop_manifests: set[str] = set()
+    drop_files: set[str] = set()
+    for s in expired:
+        for m in s.manifests:
+            if m in keep_manifests:
+                continue
+            drop_manifests.add(m)
+            for e in read_manifest(m):
+                if e.path not in keep_files:
+                    drop_files.add(e.path)
+
+    new_md = TableMetadata(
+        table_uuid=md.table_uuid,
+        location=md.location,
+        schema_json=md.schema_json,
+        version=md.version,  # bumped by replace_metadata
+        last_sequence_number=md.last_sequence_number,
+        last_snapshot_id=md.last_snapshot_id,
+        current_snapshot_id=md.current_snapshot_id,
+        snapshots=retained,
+        properties=md.properties,
+    )
+    table.replace_metadata(new_md)
+
+    # physical GC strictly after the metadata commit — a crash between the
+    # two leaves harmless orphans, never a broken retained snapshot
+    for p in drop_files | drop_manifests:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+    return ExpireResult(len(expired), len(drop_files), len(drop_manifests))

@@ -106,6 +106,7 @@ class Table:
         summary_extra: dict | None = None,
         properties: dict | None = None,
         schema: StructType | None = None,
+        manifests_override: list[list[FileEntry]] | None = None,
     ) -> Snapshot:
         """Create snapshot N+1 = parent snapshot ± (added, removed).
 
@@ -130,7 +131,13 @@ class Table:
             )
 
         manifests: list[str] = []
-        if parent is not None:
+        if manifests_override is not None:
+            # manifest rewrite: regroup entries, PRESERVING their original
+            # sequence numbers (logical content must stay byte-identical)
+            for group in manifests_override:
+                if group:
+                    manifests.append(write_manifest(self.metadata_dir, seq, group))
+        elif parent is not None:
             for m in parent.manifests:
                 entries = read_manifest(m)
                 if removed_paths and any(e.path in removed_paths for e in entries):
