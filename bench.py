@@ -1,0 +1,200 @@
+"""Benchmark harness — prints ONE JSON line.
+
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>,
+     "engine": {"merge_rows_per_sec": ..., "scan_gbps": ...,
+                "maintained_scan_gbps": ...}}
+
+- query timings: every __spark_entry__ query at $SPARK_GRAFT_SF_DIR
+  (default /root/testdata/sf0.1), forced end-to-end with a noop write.
+- engine metrics (BASELINE.md targets): MERGE INTO rows/sec and
+  post-maintenance full-scan GB/s on a deterministic synthetic image table.
+
+Scaling evidence (north rule: efficiency >= 0.8 from N to 4N):
+    python bench.py --scaling   # runs the engine bench at local[8] and
+                                # local[32] in subprocesses, writes BENCH/BASELINE.md
+
+Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SF_DIR,
+MOONLINK_BENCH_ROWS (default 20000), MOONLINK_BENCH_CDC (default 10000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("MOONLINK_BENCH_ROWS", "20000"))
+CDC_ROWS = int(os.environ.get("MOONLINK_BENCH_CDC", "10000"))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    out: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def bench_engine(spark, workdir: str) -> dict[str, float]:
+    """Deterministic image-table lifecycle: load → MERGE → maintain → scan."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.cdc import CdcScheduleGenerator, to_spark
+    from moonlink_spark.datagen import generate_images
+    from moonlink_spark.operators.maintenance import optimize_table
+    from moonlink_spark.operators.merge import merge_cdc_batch
+    from moonlink_spark.schema import IMAGES_SCHEMA
+    from moonlink_spark.table.catalog import create_table
+    from moonlink_spark.table.scan import scan
+    from moonlink_spark.table.writer import write_data_files
+
+    loc = os.path.join(workdir, "bench_images")
+    t = create_table(loc, IMAGES_SCHEMA)
+
+    # initial load (not timed as merge; the flush/append path)
+    t0 = time.perf_counter()
+    df = generate_images(spark, BENCH_ROWS, partitions=CPUS * 2)
+    entries = write_data_files(
+        spark, df, t.new_data_dir(), max_records_per_file=max(BENCH_ROWS // CPUS, 1024)
+    )
+    t.commit("append", added=entries, lsn=1)
+    load_sec = time.perf_counter() - t0
+
+    # CDC MERGE (timed → rows/sec): ~50% updates, 25% inserts, 25% deletes
+    gen = CdcScheduleGenerator(seed=42)
+    gen.next_new = BENCH_ROWS
+    gen.live = {i: 0 for i in range(BENCH_ROWS)}
+    gen.next_lsn = 2
+    batch = gen.next_batch(CDC_ROWS // 4, CDC_ROWS // 2, CDC_ROWS // 4)
+    cdc_df = to_spark(spark, batch).repartition(CPUS).cache()
+    n_cdc = cdc_df.count()  # materialize outside the timed region
+    t0 = time.perf_counter()
+    merge_cdc_batch(spark, t, cdc_df, gen.commit_lsn)
+    merge_sec = time.perf_counter() - t0
+
+    # pre-maintenance scan
+    total_bytes = sum(e.file_size_bytes for e in t.data_entries())
+    t0 = time.perf_counter()
+    scan(spark, t).agg(
+        F.sum(F.length("bytes").cast("long")), F.sum(F.col("phash").cast("decimal(38,0)")), F.count("*")
+    ).collect()
+    scan_sec = time.perf_counter() - t0
+
+    # maintenance (timed), then post-maintenance scan
+    t0 = time.perf_counter()
+    optimize_table(spark, t, mode="full", retain_last=1)
+    maint_sec = time.perf_counter() - t0
+    post_bytes = sum(e.file_size_bytes for e in t.data_entries())
+    t0 = time.perf_counter()
+    scan(spark, t).agg(
+        F.sum(F.length("bytes").cast("long")), F.sum(F.col("phash").cast("decimal(38,0)")), F.count("*")
+    ).collect()
+    post_scan_sec = time.perf_counter() - t0
+    cdc_df.unpersist()
+
+    return {
+        "rows": BENCH_ROWS,
+        "load_sec": round(load_sec, 3),
+        "merge_sec": round(merge_sec, 3),
+        "merge_rows_per_sec": round(n_cdc / merge_sec, 1),
+        "scan_sec": round(scan_sec, 3),
+        "scan_gbps": round(total_bytes / scan_sec / 1e9, 4),
+        "maintain_sec": round(maint_sec, 3),
+        "post_scan_sec": round(post_scan_sec, 3),
+        "maintained_scan_gbps": round(post_bytes / post_scan_sec / 1e9, 4),
+        "table_bytes": total_bytes,
+    }
+
+
+def run_once(cpus: int, engine_only: bool = False) -> dict:
+    from moonlink_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, app_name=f"bench-{cpus}")
+    workdir = tempfile.mkdtemp(prefix="moonlink_bench_")
+    try:
+        t_all = time.perf_counter()
+        engine = bench_engine(spark, workdir)
+        queries = {} if engine_only else bench_queries(spark, SF_DIR)
+        total = round(time.perf_counter() - t_all, 3)
+        return {"engine": engine, "queries": queries, "total": total, "cpus": cpus}
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+def scaling_report() -> None:
+    """Run the engine bench at N=8 and 4N=32 cores; write BENCH/BASELINE.md."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--engine-only"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    e8, e32 = results[8]["engine"], results[32]["engine"]
+
+    def eff(m: str, invert: bool = False) -> float:
+        a, b = e8[m], e32[m]
+        return round((b / a) / 4.0, 3) if not invert else round((a / b) / 4.0, 3)
+
+    merge_eff = eff("merge_rows_per_sec")
+    scan_eff = eff("maintained_scan_gbps")
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# Scaling evidence (north rule: efficiency >= 0.8 from N to 4N)\n\n"
+            "Identical deterministic job (image-table load -> MERGE -> full\n"
+            "maintenance -> scan) at two parallelism levels, same input.\n\n"
+            "| metric | local[8] (N) | local[32] (4N) | efficiency (T_4N/T_N)/4 |\n"
+            "|---|---|---|---|\n"
+            f"| MERGE rows/sec | {e8['merge_rows_per_sec']} | {e32['merge_rows_per_sec']} | {merge_eff} |\n"
+            f"| post-maintenance scan GB/s | {e8['maintained_scan_gbps']} | {e32['maintained_scan_gbps']} | {scan_eff} |\n"
+            f"| pre-maintenance scan GB/s | {e8['scan_gbps']} | {e32['scan_gbps']} | {eff('scan_gbps')} |\n\n"
+            f"rows={e8['rows']}, cdc={CDC_ROWS}; full engine JSON below.\n\n"
+            f"```json\n{json.dumps(results, indent=2)}\n```\n"
+        )
+    print(json.dumps({"scaling": {"merge_eff": merge_eff, "scan_eff": scan_eff,
+                                  "n8": e8, "n32": e32}}))
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        scaling_report()
+        return
+    engine_only = "--engine-only" in sys.argv
+    r = run_once(CPUS, engine_only=engine_only)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": r["total"],
+                "unit": "sec",
+                "queries": r["queries"],
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "engine": r["engine"],
+                "cpus": r["cpus"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
