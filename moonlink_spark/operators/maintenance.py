@@ -39,16 +39,18 @@ def optimize_table(
     mode: str = "full",
     retain_last: int = 2,
     checkpoint_root: str | None = None,
+    target_bytes: int | None = None,
 ) -> MaintenanceResult:
+    ckw = {"target_bytes": target_bytes} if target_bytes else {}
     res = MaintenanceResult(mode=mode)
     if mode == "data":
         res.compact = compact(
-            spark, table, mode=FORCE_REGULAR, checkpoint_root=checkpoint_root
+            spark, table, mode=FORCE_REGULAR, checkpoint_root=checkpoint_root, **ckw
         )
     elif mode == "index":
         res.manifest_rewrite = rewrite_manifests(spark, table)
     elif mode == "full":
-        res.compact = compact(spark, table, mode=FULL, checkpoint_root=checkpoint_root)
+        res.compact = compact(spark, table, mode=FULL, checkpoint_root=checkpoint_root, **ckw)
         res.manifest_rewrite = rewrite_manifests(spark, table)
         res.expire = expire_snapshots(table, retain_last=retain_last)
     else:

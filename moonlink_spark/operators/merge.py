@@ -86,52 +86,65 @@ def merge_cdc_batch(
     deduped = latest_wins_dedup(
         cdc_df, key, "lsn", tiebreak_col="op", salt_buckets=dedup_salt_buckets
     ).cache()
-    n_cdc = deduped.count()
 
-    # 2. stat-prune candidate data files by the batch's key range
-    bounds = deduped.agg(
-        F.min(key).alias("lo"), F.max(key).alias("hi")
+    # 2. ONE driver-blocking job: batch size + key bounds + upsert count
+    #    (materializes the cache; everything later reuses it)
+    agg = deduped.agg(
+        F.count("*").alias("n"),
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
+        F.sum((F.col("op") == "U").cast("long")).alias("n_up"),
     ).collect()[0]
+    n_cdc = agg["n"]
+
+    # stat-prune candidate data files by the batch's key range
     candidates = (
-        prune_entries(table.data_entries(), key, bounds["lo"], bounds["hi"])
-        if bounds["lo"] is not None
+        prune_entries(table.data_entries(), key, agg["lo"], agg["hi"])
+        if agg["lo"] is not None
         else []
     )
 
-    # 3. probe: column-pruned scan of candidates joined to batch keys
+    # 3. probe: column-pruned scan of candidates joined to batch keys; the
+    #    matched (file,pos) set goes straight to delete files — the row count
+    #    comes back from the written footers, no separate count job
     cdc_keys = deduped.select(key)
     if n_cdc <= _BROADCAST_CDC_ROWS:
         cdc_keys = F.broadcast(cdc_keys)
-    if candidates:
+
+    def write_deletes() -> list[FileEntry]:
+        if not candidates:
+            return []
         probe = scan(
             spark, table, columns=[key], with_pos=True, data_entries=candidates
         )
         matched = probe.join(cdc_keys, key, "inner").select(
             F.col(FILE_COL).alias("file_path"), F.col(POS_COL).alias("pos")
         )
-        matched = matched.cache()
-        n_matched = matched.count()
-    else:
-        matched, n_matched = None, 0
-
-    def write_deletes() -> list[FileEntry]:
-        if n_matched == 0:
-            return []
-        return write_delete_files(spark, matched, table.new_delete_dir())
+        # delete rows are tiny: shuffle down to few output files (repartition,
+        # NOT coalesce — coalesce(1) would collapse the probe scan itself to
+        # one task; the (path,pos) shuffle costs nothing)
+        n_files = max(1, n_cdc // 10_000_000)
+        entries = write_delete_files(
+            spark, matched.repartition(n_files, "file_path"), table.new_delete_dir()
+        )
+        return [e for e in entries if e.record_count > 0]
 
     def write_inserts() -> list[FileEntry]:
+        if agg["n_up"] == 0:
+            return []
         ups = deduped.filter(F.col("op") == "U").select(
             *[f.name for f in table.schema.fields]
         )
         rows_per_file = max(1024, FLUSH_TARGET_BYTES // avg_row_bytes)
-        n_files = max(1, math.ceil((n_cdc * avg_row_bytes) / FLUSH_TARGET_BYTES))
-        return write_data_files(
+        n_files = max(1, math.ceil((agg["n_up"] * avg_row_bytes) / FLUSH_TARGET_BYTES))
+        entries = write_data_files(
             spark,
             ups,
             table.new_data_dir(),
             num_files=n_files if n_files > 1 else None,
             max_records_per_file=rows_per_file,
         )
+        return [e for e in entries if e.record_count > 0]
 
     src = [e.path for e in candidates]
     if ckpt:
@@ -142,6 +155,7 @@ def merge_cdc_batch(
         ins_entries = write_inserts()
 
     n_upserted = sum(e.record_count for e in ins_entries)
+    n_matched = sum(e.record_count for e in del_entries)
     metrics = {
         "cdc_rows": n_cdc,
         "matched": n_matched,
@@ -158,6 +172,4 @@ def merge_cdc_batch(
         summary_extra={"merge-metrics": metrics},
     )
     deduped.unpersist()
-    if matched is not None:
-        matched.unpersist()
     return MergeResult(snap, n_upserted, n_matched, n_matched, metrics=metrics)

@@ -1,0 +1,103 @@
+"""Structured-Streaming front-end: a CDC stream drained into MERGE commits.
+
+Moonlink's ingestion front-ends (PG logical replication, reference:
+src/moonlink_connectors/src/pg_replicate/moonlink_sink.rs:188-392; REST,
+src/moonlink_connectors/src/rest_ingest/moonlink_rest_sink.rs:179-258) feed a
+single-writer event loop that periodically snapshots. The Spark-first
+equivalent: ``readStream`` over the CDC log → ``foreachBatch`` → one
+``merge_cdc_batch`` per micro-batch, i.e. one Iceberg-style snapshot commit
+per micro-batch — moonlink's "streaming transaction commits atomically at its
+commit LSN" guarantee (src/moonlink/src/storage/mooncake_table/
+transaction_stream.rs:137-143) carried by the snapshot CAS.
+
+Exactly-once: the streaming checkpoint replays an unacknowledged micro-batch
+after a crash, and ``merge_cdc_batch`` is idempotent per LSN (table LSN >=
+batch LSN → no-op), so replays never double-apply — the same
+WAL-replay-meets-persisted-LSN dance as moonlink recovery
+(src/moonlink/src/storage/wal.rs:205-220).
+
+No watermark is needed: the CDC log is LSN-ordered by construction, the same
+reason moonlink has no event-time semantics (LSN monotonicity asserted at
+src/moonlink/src/storage/mooncake_table.rs:1223-1228). Late "events" cannot
+exist; a stale LSN is a replay and is dropped by idempotence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.operators.merge import MergeResult, merge_cdc_batch
+from moonlink_spark.schema import CDC_SCHEMA, MERGE_KEY
+from moonlink_spark.table.catalog import Table
+
+
+@dataclass
+class StreamStats:
+    batches: int = 0
+    merged: int = 0
+    skipped: int = 0
+    results: list = field(default_factory=list)
+
+
+def cdc_file_stream(
+    spark: SparkSession, cdc_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """CDC log as a file stream: each Parquet file dropped into ``cdc_dir`` is
+    one (or part of one) transaction batch."""
+    r = spark.readStream.schema(CDC_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return r.parquet(cdc_dir)
+
+
+def apply_cdc_stream(
+    spark: SparkSession,
+    table: Table,
+    cdc_stream: DataFrame,
+    checkpoint_location: str,
+    key: str = MERGE_KEY,
+    available_now: bool = True,
+    merge_checkpoint_root: str | None = None,
+    **merge_kwargs,
+) -> StreamStats:
+    """Drain ``cdc_stream`` into the table, one MERGE commit per micro-batch.
+
+    With ``available_now`` the call processes everything currently in the
+    source and returns (the batch-maintenance posture); pass False for a
+    continuously running query (returns after ``.stop()``).
+    """
+    stats = StreamStats()
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        mx = batch_df.agg(F.max("lsn").alias("mx")).collect()[0]["mx"]
+        if mx is None:
+            return
+        res: MergeResult = merge_cdc_batch(
+            spark,
+            table,
+            batch_df,
+            int(mx),
+            key=key,
+            checkpoint_root=merge_checkpoint_root,
+            **merge_kwargs,
+        )
+        stats.batches += 1
+        stats.skipped += int(res.skipped)
+        stats.merged += int(not res.skipped)
+        stats.results.append(res)
+
+    writer = (
+        cdc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.start()
+        q.awaitTermination()
+    return stats

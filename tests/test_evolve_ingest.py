@@ -1,0 +1,113 @@
+"""Schema evolution (O18) + bulk file ingest (O22) tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField
+
+from moonlink_spark.cdc import CdcScheduleGenerator, to_spark
+from moonlink_spark.datagen import generate_images
+from moonlink_spark.operators.evolve import add_columns, drop_columns
+from moonlink_spark.operators.ingest import add_files
+from moonlink_spark.operators.merge import merge_cdc_batch
+from moonlink_spark.schema import IMAGES_SCHEMA
+from moonlink_spark.table.catalog import create_table
+from moonlink_spark.table.scan import scan
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return create_table(str(tmp_path / "t"), IMAGES_SCHEMA)
+
+
+def _load(spark, table, n=60):
+    gen = CdcScheduleGenerator(seed=11)
+    b = gen.next_batch(n, 0, 0)
+    merge_cdc_batch(spark, table, to_spark(spark, b), gen.commit_lsn)
+    return gen
+
+
+def test_add_column_reads_null_on_old_files(spark, table):
+    _load(spark, table, 50)
+    add_columns(table, [StructField("license", StringType(), True)])
+    df = scan(spark, table)
+    assert "license" in df.columns
+    assert df.filter(F.col("license").isNull()).count() == 50
+
+
+def test_drop_column_projects_away(spark, table):
+    _load(spark, table, 30)
+    drop_columns(table, ["caption"])
+    df = scan(spark, table)
+    assert "caption" not in df.columns
+    assert df.count() == 30
+    # retired name cannot be re-added (would resurrect old physical values)
+    with pytest.raises(ValueError, match="resurrect"):
+        add_columns(table, [StructField("caption", StringType(), True)])
+    # merge key is protected
+    with pytest.raises(ValueError, match="merge key"):
+        drop_columns(table, ["image_id"])
+
+
+def test_add_column_then_merge_new_rows_have_it(spark, table):
+    gen = _load(spark, table, 20)
+    add_columns(table, [StructField("score", LongType(), True)])
+    # CDC batches now carry the new column
+    b = gen.next_batch(10, 0, 0)
+    b["score"] = range(len(b))
+    from pyspark.sql.types import StructType
+
+    cdc_schema = StructType(
+        [StructField("op", StringType(), False), StructField("lsn", LongType(), False)]
+        + table.schema.fields
+    )
+    sdf = spark.createDataFrame(b[[f.name for f in cdc_schema.fields]], cdc_schema)
+    merge_cdc_batch(spark, table, sdf, gen.commit_lsn)
+    df = scan(spark, table)
+    assert df.count() == 30
+    assert df.filter(F.col("score").isNotNull()).count() == 10
+
+
+def test_add_files_adopts_without_rewrite(spark, table, tmp_path):
+    ext = str(tmp_path / "external")
+    generate_images(spark, 40, partitions=2).write.parquet(ext)
+    paths = sorted(
+        os.path.join(ext, p) for p in os.listdir(ext) if p.endswith(".parquet")
+    )
+    res = add_files(spark, table, paths, lsn=5)
+    assert res.files == len(paths) and res.rows == 40
+    # adopted in place: the table references the external paths directly
+    assert {e.path for e in table.data_entries()} == set(paths)
+    assert scan(spark, table).count() == 40
+    # stats were collected from footers -> MERGE pruning works
+    e = table.data_entries()[0]
+    assert e.stats.get("image_id", {}).get("min") is not None
+    # double-adopt is rejected
+    with pytest.raises(ValueError, match="already referenced"):
+        add_files(spark, table, paths)
+
+
+def test_add_files_schema_mismatch_rejected(spark, table, tmp_path):
+    bad = str(tmp_path / "bad")
+    spark.range(10).withColumnRenamed("id", "not_a_column").write.parquet(bad)
+    paths = [
+        os.path.join(bad, p) for p in os.listdir(bad) if p.endswith(".parquet")
+    ]
+    with pytest.raises(ValueError, match="not in the table schema"):
+        add_files(spark, table, paths)
+
+
+def test_merge_works_after_add_files(spark, table, tmp_path):
+    ext = str(tmp_path / "external")
+    generate_images(spark, 30, partitions=1).write.parquet(ext)
+    paths = [os.path.join(ext, p) for p in os.listdir(ext) if p.endswith(".parquet")]
+    add_files(spark, table, paths, lsn=1)
+    # delete 5 adopted rows via CDC
+    gen = CdcScheduleGenerator(seed=13)
+    gen.next_new = 30
+    gen.live = {i: 0 for i in range(30)}
+    gen.next_lsn = 2
+    b = gen.next_batch(0, 0, 5)
+    merge_cdc_batch(spark, table, to_spark(spark, b), gen.commit_lsn)
+    assert scan(spark, table).count() == 25
