@@ -54,12 +54,33 @@ def salted_join(
     return out.drop(SALT_COL)
 
 
+ORD_COL = "__ord"
+
+
+def winning_ords(
+    df: DataFrame, key: str, order_col: str, tiebreak_col: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(staged, winners): ``staged`` = df + ``__ord`` struct column;
+    ``winners`` = per-key max __ord — a TINY frame (key + order columns only,
+    no payload). The groupBy is map-side combined by Spark, so a hot key
+    reaching the reducer carries at most one row per map task — no explicit
+    salting needed for the aggregation."""
+    ord_expr = (
+        F.struct(F.col(order_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.struct(F.col(order_col))
+    )
+    staged = df.withColumn(ORD_COL, ord_expr)
+    winners = staged.groupBy(key).agg(F.max(ORD_COL).alias(ORD_COL))
+    return staged, winners
+
+
 def latest_wins_dedup(
     df: DataFrame,
     key: str,
     order_col: str,
     tiebreak_col: str | None = None,
-    salt_buckets: int | None = None,
+    salt_buckets: int | None = None,  # kept for API compat; see note below
 ) -> DataFrame:
     """Keep, per key, the row with max (order_col[, tiebreak_col]).
 
@@ -67,26 +88,19 @@ def latest_wins_dedup(
     LSN because moonlink updates decompose to delete+append at one LSN,
     reference: src/moonlink_connectors/src/pg_replicate/moonlink_sink.rs:286-317).
 
-    Implemented as max_by over a struct — with ``salt_buckets`` it runs in two
-    phases, (key, salt) then key, so a key receiving millions of CDC events
-    never lands on a single reducer.
+    Plan shape: one map-side-combined aggregation over ONLY (key, order)
+    — never the payload — then a semi join of the payload against the winner
+    set, which AQE broadcasts when small. The payload (15 KB image rows)
+    is never the object of an aggregation and usually never shuffles at all.
+    (An earlier design ran max_by(payload-struct) through a salted two-phase
+    groupBy; ObjectHashAggregate falls back to sort-based aggregation past
+    128 keys per partition, which sorts the binary payloads — measurably
+    slow and memory-hungry. Skew needs no salt here: the tiny agg map-side
+    combines, and the semi join keys on (key, __ord) so a hot key's events
+    scatter across partitions by their distinct LSNs.)
+
+    Requires (order_col, tiebreak_col) unique per key among tied winners —
+    CDC LSNs are globally unique, so this holds by construction.
     """
-    ord_expr = (
-        F.struct(F.col(order_col), F.col(tiebreak_col))
-        if tiebreak_col
-        else F.struct(F.col(order_col))
-    )
-    payload = F.struct(*[F.col(c) for c in df.columns])
-
-    def reduce_step(d: DataFrame, group_cols: list[str]) -> DataFrame:
-        return d.groupBy(*group_cols).agg(
-            F.max_by(F.col("__payload"), F.col("__ord")).alias("__payload"),
-            F.max(F.col("__ord")).alias("__ord"),
-        )
-
-    staged = df.withColumn("__payload", payload).withColumn("__ord", ord_expr)
-    if salt_buckets and salt_buckets > 1:
-        staged = with_salt(staged, salt_buckets)
-        staged = reduce_step(staged, [key, SALT_COL])
-    reduced = reduce_step(staged, [key])
-    return reduced.select("__payload.*")
+    staged, winners = winning_ords(df, key, order_col, tiebreak_col)
+    return staged.join(winners, [key, ORD_COL], "left_semi").drop(ORD_COL)

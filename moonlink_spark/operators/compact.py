@@ -7,12 +7,27 @@ thresholds: src/moonlink/src/storage/compaction/compaction_config.rs:47-54 —
 files < 512 MiB final size or >= 50% rows deleted; min 16 / max 32 files per
 op in best-effort mode, min 2 forced, everything in full mode).
 
-Spark-first execution: the selected files are scanned WITH their deletion
-vectors applied (the anti-join), then ``repartitionByRange(bins, image_id)``
-+ ``sortWithinPartitions`` rewrites them as ~512 MiB files clustered by key —
-so post-compaction manifests carry tight image_id bounds and future MERGE
-probes prune harder (moonlink instead remaps (file,pos) indices,
-compactor.rs:331-365 — Spark's shuffle makes the remap unnecessary).
+Execution is moonlink-shaped on purpose: the compactor stream-reads the
+selected files IN ORDER, filters deleted rows, and concatenates into
+target-size outputs (compactor.rs:296-315 — input order preserved, no
+re-sort). The Spark-first translation:
+
+- bins are planned DRIVER-SIDE from manifest stats (file size x live
+  fraction) — whole files go to bins, ordered by their image_id lower bound
+  so existing key-clustering survives;
+- each bin is one `scan(bin files) -> coalesce(1) -> write` job: a single
+  streaming-concat task, NO shuffle, NO sort, NO range-sampling pass (an
+  earlier repartitionByRange design paid a full extra read for partitioner
+  sampling and spilled the 15 KiB binary rows through the sorter);
+- bins run as CONCURRENT Spark jobs from a driver thread pool (Spark's
+  scheduler interleaves them), so parallelism = number of bins even though
+  each output file is written by one task;
+- each bin is one checkpoint step with (source files -> output files)
+  lineage — the resumable per-partition unit the north rule requires. A
+  re-run after a crash skips completed bins.
+
+Key-order re-clustering is deliberately NOT compaction's job — that is the
+Z-order/Hilbert `cluster` operator, which pays its shuffle+sort explicitly.
 
 Delete-file hygiene (moonlink's deletion-log remap, O11,
 snapshot_maintenance.rs:369-424): delete files whose rows ALL reference
@@ -23,22 +38,26 @@ swept later by rewrite_manifests.
 
 from __future__ import annotations
 
-import math
+import glob
+import os
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from moonlink_spark.checkpoint import JobCheckpoint
-from moonlink_spark.schema import MERGE_KEY
 from moonlink_spark.table.catalog import Table
 from moonlink_spark.table.format import FileEntry, Snapshot
 from moonlink_spark.table.scan import scan
-from moonlink_spark.table.writer import COMPACT_TARGET_BYTES, write_data_files
+from moonlink_spark.table.stats import collect_file_entries
+from moonlink_spark.table.writer import COMPACT_TARGET_BYTES
 
 BEST_EFFORT = "best_effort"
 FORCE_REGULAR = "force_regular"
 FULL = "full"
+
+_MAX_CONCURRENT_BINS = 16
 
 
 @dataclass
@@ -85,6 +104,11 @@ def removable_delete_files(
     }
 
 
+def _live_bytes(e: FileEntry, del_counts: dict[str, int]) -> int:
+    live_frac = 1.0 - (del_counts.get(e.path, 0) / max(e.record_count, 1))
+    return int(e.file_size_bytes * live_frac)
+
+
 def select_candidates(
     table: Table,
     del_counts: dict[str, int],
@@ -117,6 +141,36 @@ def select_candidates(
     return cand[:max_files]
 
 
+def plan_bins(
+    selected: list[FileEntry],
+    del_counts: dict[str, int],
+    target_bytes: int,
+    order_col: str = "image_id",
+) -> list[list[FileEntry]]:
+    """Greedy size packing of whole files into ~target_bytes bins, ordered by
+    each file's lower bound on ``order_col`` so pre-existing key clustering
+    carries into the outputs (and manifest bounds stay tight)."""
+
+    def sort_key(e: FileEntry):
+        st = e.stats.get(order_col) or {}
+        mn = st.get("min")
+        return (0, mn) if mn is not None else (1, e.path)
+
+    bins: list[list[FileEntry]] = []
+    cur: list[FileEntry] = []
+    cur_bytes = 0
+    for e in sorted(selected, key=sort_key):
+        lb = _live_bytes(e, del_counts)
+        if cur and cur_bytes + lb > target_bytes:
+            bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(e)
+        cur_bytes += lb
+    if cur:
+        bins.append(cur)
+    return bins
+
+
 def compact(
     spark: SparkSession,
     table: Table,
@@ -125,7 +179,6 @@ def compact(
     min_files: int = 16,
     max_files: int = 32,
     delete_ratio: float = 0.5,
-    key: str = MERGE_KEY,
     checkpoint_root: str | None = None,
 ) -> CompactResult:
     table.refresh()
@@ -137,11 +190,7 @@ def compact(
         return CompactResult(None, 0, 0, 0, 0, 0, skipped=True)
 
     sel_paths = {e.path for e in selected}
-    live_bytes = 0
-    for e in selected:
-        live_frac = 1.0 - (del_counts.get(e.path, 0) / max(e.record_count, 1))
-        live_bytes += int(e.file_size_bytes * live_frac)
-    bins = max(1, math.ceil(live_bytes / target_bytes))
+    bins = plan_bins(selected, del_counts, target_bytes)
 
     base_snapshot = table.md.current_snapshot_id
     ckpt = (
@@ -149,22 +198,33 @@ def compact(
         if checkpoint_root
         else None
     )
+    # deterministic per base snapshot: a crashed run's resume lands in the
+    # same directory and per-bin overwrite makes partial outputs idempotent
+    out_root = os.path.join(table.location, "data", f"compact-{base_snapshot}")
+    os.makedirs(out_root, exist_ok=True)
 
-    def rewrite() -> list[FileEntry]:
-        live = scan(spark, table, data_entries=selected)
-        return write_data_files(
-            spark,
-            live,
-            table.new_data_dir(),
-            num_files=bins,
-            range_cols=[key],
-            sort_cols=[key],
-        )
+    def rewrite_bin(i: int) -> list[FileEntry]:
+        bin_entries = bins[i]
+        out_dir = os.path.join(out_root, f"bin-{i:05d}")
+        live = scan(spark, table, data_entries=bin_entries)
+        # one streaming-concat task per output file, moonlink compactor-style
+        live.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        paths = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+        return [
+            e for e in collect_file_entries(spark, paths) if e.record_count > 0
+        ]
 
-    if ckpt:
-        new_entries = ckpt.run("rewrite", rewrite, sources=sorted(sel_paths)).entries
-    else:
-        new_entries = rewrite()
+    def run_bin(i: int) -> list[FileEntry]:
+        if ckpt:
+            return ckpt.run(
+                f"bin-{i:05d}",
+                lambda: rewrite_bin(i),
+                sources=sorted(e.path for e in bins[i]),
+            ).entries
+        return rewrite_bin(i)
+
+    with ThreadPoolExecutor(max_workers=min(_MAX_CONCURRENT_BINS, len(bins))) as ex:
+        new_entries = [e for res in ex.map(run_bin, range(len(bins))) for e in res]
 
     # delete files now fully dangling → drop in the same commit
     removable_deletes = removable_delete_files(spark, table, sel_paths)
@@ -176,7 +236,7 @@ def compact(
         "in_bytes": sum(e.file_size_bytes for e in selected),
         "out_bytes": sum(e.file_size_bytes for e in new_entries),
         "removed_delete_files": len(removable_deletes),
-        "bins": bins,
+        "bins": len(bins),
     }
     snap = table.commit(
         "compact",

@@ -5,7 +5,7 @@ index lookup; reference: src/moonlink/src/storage/mooncake_table.rs:1134-1293,
 snapshot deletion resolution src/moonlink/src/storage/mooncake_table/
 snapshot.rs:774-1003) with one merge-on-read batch job:
 
-    cdc ──dedup (latest LSN wins, two-phase salted)──► Δ
+    cdc ──dedup (latest LSN wins; tiny winner-set agg + semi join)──► Δ
     table keys (column-pruned, stat-pruned scan) ⋈ Δ  ► matched (file,pos)
     matched ──► positional delete files
     Δ upserts ──► new data files (size-tuned)
@@ -26,14 +26,13 @@ Scale notes (10^12-image design point):
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from moonlink_spark.checkpoint import JobCheckpoint
-from moonlink_spark.functions.salting import latest_wins_dedup
+from moonlink_spark.functions.salting import ORD_COL, winning_ords
 from moonlink_spark.schema import MERGE_KEY
 from moonlink_spark.table.catalog import Table
 from moonlink_spark.table.format import FileEntry, Snapshot
@@ -45,6 +44,18 @@ from moonlink_spark.table.writer import (
 )
 
 _BROADCAST_CDC_ROWS = 5_000_000  # key-only probe side
+
+
+def _estimate_row_bytes(table: Table, override: int | None) -> int:
+    """On-disk bytes/row from manifest stats (same payload distribution as
+    the incoming batch); 4096 for an empty table."""
+    if override:
+        return override
+    entries = table.data_entries()
+    rows = sum(e.record_count for e in entries)
+    if not rows:
+        return 4096
+    return max(64, sum(e.file_size_bytes for e in entries) // rows)
 
 
 @dataclass
@@ -63,8 +74,8 @@ def merge_cdc_batch(
     cdc_df: DataFrame,
     lsn: int,
     key: str = MERGE_KEY,
-    dedup_salt_buckets: int = 16,
-    avg_row_bytes: int = 4096,
+    dedup_salt_buckets: int = 16,  # retained for API compat (skew is handled structurally; see salting.latest_wins_dedup)
+    avg_row_bytes: int | None = None,  # None: estimated from manifest stats
     checkpoint_root: str | None = None,
 ) -> MergeResult:
     """Apply a CDC batch (schema: op, lsn, <table columns>) at commit ``lsn``.
@@ -81,21 +92,23 @@ def merge_cdc_batch(
         JobCheckpoint(checkpoint_root, f"merge-lsn{lsn}") if checkpoint_root else None
     )
 
-    # 1. latest-wins dedup inside the batch (two-phase, salt-bucketed so a
-    #    hot key's event flood never pins one reducer)
-    deduped = latest_wins_dedup(
-        cdc_df, key, "lsn", tiebreak_col="op", salt_buckets=dedup_salt_buckets
-    ).cache()
+    # 1. latest-wins dedup inside the batch: one map-side-combined agg over
+    #    (key, lsn, op) gives the per-key winner set — TINY (no payload), so
+    #    it is the thing we cache; the image payload itself never shuffles
+    #    (the semi join below broadcasts the winners via AQE)
+    staged, winners = winning_ords(cdc_df, key, "lsn", tiebreak_col="op")
+    winners = winners.cache()
 
-    # 2. ONE driver-blocking job: batch size + key bounds + upsert count
-    #    (materializes the cache; everything later reuses it)
-    agg = deduped.agg(
+    # 2. ONE driver-blocking job over the winner set: batch size + key
+    #    bounds + upsert count (materializes the winners cache)
+    agg = winners.agg(
         F.count("*").alias("n"),
         F.min(key).alias("lo"),
         F.max(key).alias("hi"),
-        F.sum((F.col("op") == "U").cast("long")).alias("n_up"),
+        F.sum((F.col(ORD_COL)["op"] == "U").cast("long")).alias("n_up"),
     ).collect()[0]
     n_cdc = agg["n"]
+    deduped = staged.join(winners, [key, ORD_COL], "left_semi").drop(ORD_COL)
 
     # stat-prune candidate data files by the batch's key range
     candidates = (
@@ -107,7 +120,7 @@ def merge_cdc_batch(
     # 3. probe: column-pruned scan of candidates joined to batch keys; the
     #    matched (file,pos) set goes straight to delete files — the row count
     #    comes back from the written footers, no separate count job
-    cdc_keys = deduped.select(key)
+    cdc_keys = winners.select(key)
     if n_cdc <= _BROADCAST_CDC_ROWS:
         cdc_keys = F.broadcast(cdc_keys)
 
@@ -135,14 +148,14 @@ def merge_cdc_batch(
         ups = deduped.filter(F.col("op") == "U").select(
             *[f.name for f in table.schema.fields]
         )
-        rows_per_file = max(1024, FLUSH_TARGET_BYTES // avg_row_bytes)
-        n_files = max(1, math.ceil((agg["n_up"] * avg_row_bytes) / FLUSH_TARGET_BYTES))
+        # size files via maxRecordsPerFile and KEEP the batch's partitioning —
+        # never repartition down to ceil(bytes/128MB) tasks (that serialized
+        # big-image batches onto 1-2 writers); undersized files are
+        # compaction's job to merge later, exactly the moonlink flush/compact
+        # split (mooncake_table_config.rs:24 vs compaction_config.rs:52)
+        rpf = max(256, FLUSH_TARGET_BYTES // _estimate_row_bytes(table, avg_row_bytes))
         entries = write_data_files(
-            spark,
-            ups,
-            table.new_data_dir(),
-            num_files=n_files if n_files > 1 else None,
-            max_records_per_file=rows_per_file,
+            spark, ups, table.new_data_dir(), max_records_per_file=rpf
         )
         return [e for e in entries if e.record_count > 0]
 
@@ -171,5 +184,5 @@ def merge_cdc_batch(
         lsn=lsn,
         summary_extra={"merge-metrics": metrics},
     )
-    deduped.unpersist()
+    winners.unpersist()
     return MergeResult(snap, n_upserted, n_matched, n_matched, metrics=metrics)

@@ -37,7 +37,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # binary-payload tables: a 4096-row columnar batch of ~20 KiB images
+        # is an ~85 MiB humongous allocation per task per batch — G1 churns.
+        # 1024-row batches keep vectors ~20 MiB; 32 MiB row groups give scans
+        # of few-file tables real split parallelism.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        .config("spark.hadoop.parquet.block.size", str(32 * 1024 * 1024))
+        # modest heap: a giant heap makes the JVM grow into cold pages under
+        # load (slow first-touch in virtualized sandboxes); 16g is ample for
+        # local-mode jobs here and GC reuses warm pages instead
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -94,11 +94,15 @@ def collect_file_entries(
     """Footer-scan `paths` in executors, return manifest entries."""
     if not paths:
         return []
-    if len(paths) <= 8:  # tiny lists: driver-side pyarrow, skip job startup
+    # Footers are metadata-scale (~ms each): driver-side pyarrow beats a
+    # Spark job by orders of magnitude until the file LIST is itself large;
+    # beyond the threshold the job fans out so a million-file commit never
+    # loops on the driver.
+    if len(paths) <= 512:
         pdf = _footer_stats(pd.Series(paths))
     else:
         df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
-            min(len(paths), 64)
+            min(len(paths) // 32, 256)
         )
         pdf = df.mapInPandas(_mapper, schema=_STATS_SCHEMA).toPandas()
     return [
