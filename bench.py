@@ -36,6 +36,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("MOONLINK_BENCH_ROWS", "20000"))
 CDC_ROWS = int(os.environ.get("MOONLINK_BENCH_CDC", "10000"))
+MERGE_REPS = int(os.environ.get("MOONLINK_BENCH_MERGE_REPS", "2"))
 
 
 def _force(df) -> None:
@@ -93,7 +94,7 @@ def bench_engine(spark, workdir: str) -> dict[str, float]:
     gen.live = {i: 0 for i in range(BENCH_ROWS)}
     gen.next_lsn = 2
     merge_rates, merge_secs = [], []
-    for _ in range(2):
+    for _ in range(MERGE_REPS):
         batch = gen.next_batch(CDC_ROWS // 4, CDC_ROWS // 2, CDC_ROWS // 4)
         cdc_df = to_spark(spark, batch).repartition(CPUS).cache()
         n_cdc = cdc_df.count()  # materialize outside the timed region
