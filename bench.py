@@ -11,13 +11,24 @@
   post-maintenance full-scan GB/s on a deterministic synthetic image table.
 
 Scaling evidence (north rule: efficiency >= 0.8 from N to 4N):
-    python bench.py --scaling   # engine bench at $SPARK_GRAFT_SCALE core
-                                # counts (default "2,8,32": N=2, 4N=8 are the
-                                # graded pair, 32 is context), one subprocess
-                                # each, writes BENCH/BASELINE.md
 
-Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE,
-MOONLINK_BENCH_ROWS (default 20000), MOONLINK_BENCH_CDC (default 10000).
+    python bench.py --scaling
+
+runs the SAME deterministic job at each core count in $SPARK_GRAFT_SCALE
+(default "2,8,32") and writes BENCH/BASELINE.md. Every data-layout knob is
+fixed independent of the core count (generation partitions, shuffle
+partitions, records-per-file, compaction target), so every core count does
+byte-identical work and only parallelism varies — the local-mode stand-in for
+"same job, N vs 4N executors". Timed metrics are MEDIANS over repeats
+(never best-of). A raw-CPU probe (multiprocessing image encode, no Spark)
+is run alongside to measure the VM's own parallel-scaling ceiling at each
+core count, so engine efficiency can be read against what the hardware
+actually offers.
+
+Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SF_DIR,
+SPARK_GRAFT_SCALE, MOONLINK_BENCH_ROWS (default 20000), MOONLINK_BENCH_CDC
+(default 10000), MOONLINK_BENCH_BATCHES (default 2), MOONLINK_SCALE_ROWS
+(default 120000), MOONLINK_SCALE_CDC (default 60000).
 """
 
 from __future__ import annotations
@@ -25,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -36,7 +48,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("MOONLINK_BENCH_ROWS", "20000"))
 CDC_ROWS = int(os.environ.get("MOONLINK_BENCH_CDC", "10000"))
-MERGE_REPS = int(os.environ.get("MOONLINK_BENCH_MERGE_REPS", "2"))
+MERGE_BATCHES = int(os.environ.get("MOONLINK_BENCH_BATCHES", "2"))
+SCAN_REPS = int(os.environ.get("MOONLINK_BENCH_SCAN_REPS", "3"))
+
+# ---- layout constants: FIXED regardless of core count, so runs at
+# ---- different parallelism do byte-identical work (scaling evidence).
+LAYOUT_PARTITIONS = 64          # generation + CDC partitioning
+SHUFFLE_PARTITIONS = 64
+LOAD_ROWS_PER_FILE = 3072       # ~48 MiB data files at ~15.6 KiB/row
+COMPACT_TARGET = 64 * 1024 * 1024
+SCAN_SPLIT_BYTES = 8 * 1024 * 1024
 
 
 def _force(df) -> None:
@@ -54,11 +75,15 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bench_engine(spark, workdir: str) -> dict[str, float]:
-    """Deterministic image-table lifecycle: load → MERGE → maintain → scan."""
+def bench_engine(spark, workdir: str) -> dict:
+    """Deterministic image-table lifecycle: load → MERGE×B → maintain → scan.
+
+    All timed metrics are medians over repeats; layout is core-count
+    independent (see module docstring).
+    """
     from pyspark.sql import functions as F
 
-    from moonlink_spark.cdc import CdcScheduleGenerator, to_spark
+    from moonlink_spark.cdc import CdcScheduleGenerator, spec_to_spark
     from moonlink_spark.datagen import generate_images
     from moonlink_spark.operators.maintenance import optimize_table
     from moonlink_spark.operators.merge import merge_cdc_batch
@@ -67,89 +92,105 @@ def bench_engine(spark, workdir: str) -> dict[str, float]:
     from moonlink_spark.table.scan import scan
     from moonlink_spark.table.writer import write_data_files
 
+    spark.conf.set("spark.sql.shuffle.partitions", str(SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(SCAN_SPLIT_BYTES))
+
     loc = os.path.join(workdir, "bench_images")
     t = create_table(loc, IMAGES_SCHEMA)
 
-    # sized so the post-maintenance table still has >= 4N parallel splits
-    # (at production scale the table has thousands of files; this knob
-    # reproduces that split count at sandbox scale)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
-    compact_target = 64 * 1024 * 1024
-
     # initial load (not timed as merge; the flush/append path)
     t0 = time.perf_counter()
-    df = generate_images(spark, BENCH_ROWS, partitions=CPUS * 2)
+    df = generate_images(spark, BENCH_ROWS, partitions=LAYOUT_PARTITIONS)
     entries = write_data_files(
-        spark, df, t.new_data_dir(), max_records_per_file=max(BENCH_ROWS // CPUS, 1024)
+        spark, df, t.new_data_dir(), max_records_per_file=LOAD_ROWS_PER_FILE
     )
     t.commit("append", added=entries, lsn=1)
     load_sec = time.perf_counter() - t0
 
     # CDC MERGE (timed → rows/sec): ~50% updates, 25% inserts, 25% deletes.
-    # Two batches; report the best batch throughput — the sandbox VM has
-    # sporadic multi-second stalls (hypervisor-level; PSI and GC logs clean),
-    # so a single sample under-reports the engine.
+    # Payloads are synthesized in executors (spec_to_spark) and cached before
+    # the timed region, so the timed MERGE measures the engine, not datagen.
     gen = CdcScheduleGenerator(seed=42)
     gen.next_new = BENCH_ROWS
     gen.live = {i: 0 for i in range(BENCH_ROWS)}
     gen.next_lsn = 2
-    merge_rates, merge_secs = [], []
-    for _ in range(MERGE_REPS):
-        batch = gen.next_batch(CDC_ROWS // 4, CDC_ROWS // 2, CDC_ROWS // 4)
-        cdc_df = to_spark(spark, batch).repartition(CPUS).cache()
+    merge_rates, merge_secs, merge_metrics = [], [], []
+    for _ in range(MERGE_BATCHES):
+        spec = gen.next_spec(CDC_ROWS // 4, CDC_ROWS // 2, CDC_ROWS // 4)
+        cdc_df = spec_to_spark(spark, spec, partitions=LAYOUT_PARTITIONS).cache()
         n_cdc = cdc_df.count()  # materialize outside the timed region
         t0 = time.perf_counter()
-        merge_cdc_batch(spark, t, cdc_df, gen.commit_lsn)
+        res = merge_cdc_batch(spark, t, cdc_df, gen.commit_lsn)
         dt = time.perf_counter() - t0
         merge_secs.append(round(dt, 3))
         merge_rates.append(n_cdc / dt)
+        merge_metrics.append(res.metrics)
         cdc_df.unpersist()
-    merge_sec = min(merge_secs)
+    merge_sec = statistics.median(merge_secs)
+    merge_rate = statistics.median(merge_rates)
 
-    def timed_scan() -> float:
-        """Full-table scan + checksum agg; best of 3 (JIT/page-cache warmup
-        + sandbox stall tolerance)."""
-        best = float("inf")
-        for _ in range(3):
+    def timed_scan() -> tuple[float, list[float]]:
+        """Full-table scan + checksum agg; median of SCAN_REPS."""
+        secs = []
+        for _ in range(SCAN_REPS):
             t0 = time.perf_counter()
             scan(spark, t).agg(
                 F.sum(F.length("bytes").cast("long")),
                 F.bit_xor(F.xxhash64("image_id")),
                 F.count("*"),
             ).collect()
-            best = min(best, time.perf_counter() - t0)
-        return best
+            secs.append(round(time.perf_counter() - t0, 3))
+        return statistics.median(secs), secs
 
     # pre-maintenance scan
     total_bytes = sum(e.file_size_bytes for e in t.data_entries())
-    scan_sec = timed_scan()
+    scan_sec, scan_secs = timed_scan()
 
     # maintenance (timed), then post-maintenance scan
     t0 = time.perf_counter()
-    optimize_table(spark, t, mode="full", retain_last=1, target_bytes=compact_target)
+    optimize_table(spark, t, mode="full", retain_last=1, target_bytes=COMPACT_TARGET)
     maint_sec = time.perf_counter() - t0
     post_bytes = sum(e.file_size_bytes for e in t.data_entries())
-    post_scan_sec = timed_scan()
+    post_scan_sec, post_scan_secs = timed_scan()
 
     return {
         "rows": BENCH_ROWS,
+        "cdc_rows": CDC_ROWS,
+        "merge_batches": MERGE_BATCHES,
         "load_sec": round(load_sec, 3),
         "merge_sec": round(merge_sec, 3),
         "merge_secs": merge_secs,
-        "merge_rows_per_sec": round(max(merge_rates), 1),
+        "merge_rows_per_sec": round(merge_rate, 1),
+        "merge_step_metrics": merge_metrics[-1],
         "scan_sec": round(scan_sec, 3),
+        "scan_secs": scan_secs,
         "scan_gbps": round(total_bytes / scan_sec / 1e9, 4),
         "maintain_sec": round(maint_sec, 3),
         "post_scan_sec": round(post_scan_sec, 3),
+        "post_scan_secs": post_scan_secs,
         "maintained_scan_gbps": round(post_bytes / post_scan_sec / 1e9, 4),
         "table_bytes": total_bytes,
+        "post_table_bytes": post_bytes,
+        "post_files": len(t.data_entries()),
     }
 
 
 def run_once(cpus: int, engine_only: bool = False) -> dict:
     from moonlink_spark.session import get_spark
 
-    spark = get_spark(cores=cpus, app_name=f"bench-{cpus}")
+    # This sandbox VM materializes guest memory lazily at ~10-100 MB/s
+    # (first-touch page faults trap to the host): an untouched JVM heap turns
+    # into multi-10s kernel-time stalls mid-benchmark (diagnosed: all
+    # executor threads ~99% *system* time, GC logs clean, PSI clean, raw-CPU
+    # probes stable). Pre-touching the whole heap at startup (untimed) pays
+    # that cost once and makes timed regions reproducible.
+    spark = get_spark(
+        cores=cpus,
+        app_name=f"bench-{cpus}",
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-Xms12g -XX:+AlwaysPreTouch"
+        },
+    )
     workdir = tempfile.mkdtemp(prefix="moonlink_bench_")
     try:
         t_all = time.perf_counter()
@@ -162,52 +203,116 @@ def run_once(cpus: int, engine_only: bool = False) -> dict:
         spark.stop()
 
 
-def scaling_report() -> None:
-    """Run the engine bench at N and 4N cores; write BENCH/BASELINE.md.
+def hw_probe(cores: list[int]) -> dict[int, float]:
+    """Raw-CPU parallel-scaling ceiling of this machine: multiprocessing
+    image-encode (the same numpy codec the engine uses), NO Spark. Returns
+    images/sec per core count — the best any software could scale here."""
+    from tools.hw_probe import probe
 
-    Core pair from $SPARK_GRAFT_SCALE (default "2,8" — both well inside the
-    sandbox VM's stable regime; local[32] on this VM shows sporadic
-    multi-second hypervisor stalls that poison ratios). Extra core counts
-    after the first two are measured and reported as context.
-    """
+    return {c: probe(c) for c in cores}
+
+
+def scaling_report() -> None:
+    """Run the engine bench at each core count in $SPARK_GRAFT_SCALE
+    (default "2,8,32"); grade every (N, 4N) pair present; write
+    BENCH/BASELINE.md with medians, all samples, and the raw-CPU ceiling."""
     cores = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE", "2,8,32").split(",")]
-    n_lo, n_hi = cores[0], cores[1]
-    assert n_hi == 4 * n_lo, "scaling pair must be N and 4N"
+    rows = os.environ.get("MOONLINK_SCALE_ROWS", "120000")
+    cdc = os.environ.get("MOONLINK_SCALE_CDC", "60000")
+
+    hw = hw_probe(cores)
+
     results = {}
     for cpus in cores:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            MOONLINK_BENCH_ROWS=rows,
+            MOONLINK_BENCH_CDC=cdc,
+            MOONLINK_BENCH_BATCHES="3",
+            MOONLINK_BENCH_SCAN_REPS="5",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--engine-only"],
             env=env, capture_output=True, text=True, check=True,
         )
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-    lo, hi = results[n_lo]["engine"], results[n_hi]["engine"]
 
-    def eff(m: str) -> float:
+    pairs = [(a, b) for a in cores for b in cores if b == 4 * a]
+
+    def eff(lo: dict, hi: dict, m: str) -> float:
         return round((hi[m] / lo[m]) / 4.0, 3)
 
-    merge_eff = eff("merge_rows_per_sec")
-    scan_eff = eff("maintained_scan_gbps")
+    lines = [
+        "# Scaling evidence (north rule: efficiency >= 0.8 from N to 4N)",
+        "",
+        "Identical deterministic job (image-table load -> MERGE x3 -> full",
+        "maintenance -> scan) at each parallelism level. Every layout knob",
+        "(generation/CDC partitions, shuffle partitions, records-per-file,",
+        "compaction target, scan split size) is FIXED across core counts, so",
+        "every level does byte-identical work; only parallelism varies.",
+        "All timed metrics are MEDIANS (merge: median over 3 batches; scans:",
+        "median of 5 reps). No best-of-repeat anywhere.",
+        "",
+        f"Workload: rows={rows}, cdc={cdc} x3 batches. Core counts: {cores}.",
+        "",
+        "## Raw-CPU ceiling (no Spark)",
+        "",
+        "Multiprocessing image-encode probe (tools/hw_probe.py) — the VM's own",
+        "parallel-scaling limit for the CPU-bound work this engine does:",
+        "",
+        "| cores | images/sec | vs 1/4 cores (eff) |",
+        "|---|---|---|",
+    ]
+    for c in cores:
+        base = hw.get(c // 4)
+        e = f"{round(hw[c] / base / 4.0, 3)}" if base else "-"
+        lines.append(f"| {c} | {hw[c]:.0f} | {e} |")
+    lines += [
+        "",
+        "## Engine scaling",
+        "",
+        "| metric | " + " | ".join(f"local[{c}]" for c in cores) + " |",
+        "|---|" + "---|" * len(cores),
+    ]
+    for m, label in [
+        ("merge_rows_per_sec", "MERGE rows/sec (median of 3)"),
+        ("maintained_scan_gbps", "post-maintenance scan GB/s (median of 5)"),
+        ("scan_gbps", "pre-maintenance scan GB/s (median of 5)"),
+    ]:
+        vals = " | ".join(str(results[c]["engine"][m]) for c in cores)
+        lines.append(f"| {label} | {vals} |")
+    lines += ["", "## N -> 4N efficiency (target >= 0.8)", ""]
+    lines.append("| pair | MERGE eff | post-scan eff | pre-scan eff | raw-CPU ceiling |")
+    lines.append("|---|---|---|---|---|")
+    graded = {}
+    for a, b in pairs:
+        lo, hi = results[a]["engine"], results[b]["engine"]
+        me = eff(lo, hi, "merge_rows_per_sec")
+        pe = eff(lo, hi, "maintained_scan_gbps")
+        se = eff(lo, hi, "scan_gbps")
+        hw_e = round(hw[b] / hw[a] / 4.0, 3)
+        graded[f"{a}->{b}"] = {"merge_eff": me, "post_scan_eff": pe,
+                               "pre_scan_eff": se, "hw_ceiling": hw_e}
+        lines.append(f"| {a} -> {b} | {me} | {pe} | {se} | {hw_e} |")
+    lines += [
+        "",
+        "The raw-CPU ceiling column is what a perfectly-scaling program",
+        "achieves on this VM (frequency/memory-bandwidth effects at high core",
+        "counts are hardware, not engine, properties). Engine efficiency",
+        "should be read against both the 0.8 target and that ceiling.",
+        "",
+        "Full engine JSON:",
+        "",
+        "```json",
+        json.dumps(results, indent=2),
+        "```",
+        "",
+    ]
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
-        f.write(
-            "# Scaling evidence (north rule: efficiency >= 0.8 from N to 4N)\n\n"
-            "Identical deterministic job (image-table load -> MERGE -> full\n"
-            "maintenance -> scan) at two parallelism levels, same input.\n"
-            f"N = local[{n_lo}], 4N = local[{n_hi}]. Timed metrics are\n"
-            "best-of-repeat to damp sporadic hypervisor stalls observed on\n"
-            "this sandbox VM (PSI and GC logs clean during stalls).\n\n"
-            f"| metric | local[{n_lo}] (N) | local[{n_hi}] (4N) | efficiency (T_4N/T_N)/4 |\n"
-            "|---|---|---|---|\n"
-            f"| MERGE rows/sec | {lo['merge_rows_per_sec']} | {hi['merge_rows_per_sec']} | {merge_eff} |\n"
-            f"| post-maintenance scan GB/s | {lo['maintained_scan_gbps']} | {hi['maintained_scan_gbps']} | {scan_eff} |\n"
-            f"| pre-maintenance scan GB/s | {lo['scan_gbps']} | {hi['scan_gbps']} | {eff('scan_gbps')} |\n\n"
-            f"rows={lo['rows']}, cdc={CDC_ROWS} x2 batches; all core counts measured: "
-            f"{sorted(results)}; full engine JSON below.\n\n"
-            f"```json\n{json.dumps(results, indent=2)}\n```\n"
-        )
-    print(json.dumps({"scaling": {"merge_eff": merge_eff, "scan_eff": scan_eff,
-                                  "n_lo": lo, "n_hi": hi}}))
+        f.write("\n".join(lines))
+    print(json.dumps({"scaling": graded, "hw": hw}))
 
 
 def main() -> None:

@@ -5,9 +5,24 @@ src/moonlink/src/table_handler/chaos_test.rs:1-76 — seeded random
 interleavings with invariants "deletes come from committed appends, LSN always
 increases"). Batches are deterministic per (seed, batch sizes); deletes only
 target previously live ids; LSNs strictly increase across batches.
+
+Two materialization paths:
+
+- ``next_spec()`` + ``spec_to_spark()`` — the scale path. The generator emits
+  only a compact *spec* (row index, version, op, lsn — ~25 bytes/row); image
+  payloads are synthesized inside executors via ``mapInPandas``, so CDC
+  generation cost scales out with cores and the driver never touches a byte
+  of image data (same pattern as datagen.generate_images).
+- ``next_batch()`` + ``to_spark()`` — driver-side materialization of the same
+  spec, for small correctness tests and the pandas reference oracle.
+
+Both paths produce identical rows for the same generator state: the payload
+is a pure function of (row index, version).
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -16,6 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 from moonlink_spark.datagen import row_fields
 from moonlink_spark.functions.imagecodec import encode, synth_pixels
 from moonlink_spark.schema import CDC_SCHEMA
+
+_CDC_COLS = [f.name for f in CDC_SCHEMA.fields]
+
+_SPEC_SCHEMA = "idx long, ver long, op string, lsn long"
 
 
 def _payload_rows(indices: np.ndarray, version: np.ndarray) -> pd.DataFrame:
@@ -32,8 +51,54 @@ def _payload_rows(indices: np.ndarray, version: np.ndarray) -> pd.DataFrame:
     return out
 
 
+def materialize_spec(spec: pd.DataFrame) -> pd.DataFrame:
+    """Spec rows (idx, ver, op, lsn) → full CDC rows (op, lsn, <image cols>).
+
+    Pure per-row function — safe to run on any partition of a spec.
+    """
+    frames = []
+    u = spec[spec["op"] == "U"]
+    if len(u):
+        f = _payload_rows(u["idx"].to_numpy(), u["ver"].to_numpy())
+        f["op"] = "U"
+        f["lsn"] = u["lsn"].to_numpy()
+        frames.append(f)
+    d = spec[spec["op"] == "D"]
+    if len(d):
+        f = pd.DataFrame({"image_id": [f"img{int(i):012d}" for i in d["idx"]]})
+        for c in ("w", "h", "phash"):
+            f[c] = pd.array([None] * len(f), dtype="Int64")
+        f["bytes"] = None
+        f["fmt"] = None
+        f["caption"] = None
+        f["op"] = "D"
+        f["lsn"] = d["lsn"].to_numpy()
+        frames.append(f)
+    if not frames:
+        return pd.DataFrame(columns=_CDC_COLS)
+    out = pd.concat(frames, ignore_index=True)
+    for c in ("w", "h"):
+        out[c] = out[c].astype("Int32")
+    out["lsn"] = out["lsn"].astype("int64")
+    return out[_CDC_COLS]
+
+
+def _spec_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        yield materialize_spec(b)
+
+
+def spec_to_spark(
+    spark: SparkSession, spec: pd.DataFrame, partitions: int = 64
+) -> DataFrame:
+    """Distribute a tiny spec and synthesize payloads executor-side."""
+    sdf = spark.createDataFrame(spec[["idx", "ver", "op", "lsn"]], _SPEC_SCHEMA)
+    return sdf.repartition(partitions).mapInPandas(_spec_mapper, schema=CDC_SCHEMA)
+
+
 class CdcScheduleGenerator:
-    """Generates batches of (op, lsn, <image columns>) pandas frames."""
+    """Generates batches of (op, lsn, <image columns>) — as compact specs
+    (``next_spec``) or driver-materialized pandas frames (``next_batch``)."""
 
     def __init__(self, seed: int = 42, id_space: int = 100_000):
         self.rng = np.random.default_rng(seed)
@@ -42,9 +107,10 @@ class CdcScheduleGenerator:
         self.next_lsn = 1
         self.next_new = 0
 
-    def next_batch(
+    def next_spec(
         self, n_insert: int, n_update: int, n_delete: int
     ) -> pd.DataFrame:
+        """One batch as a payload-free spec: (idx, ver, op, lsn)."""
         ins = np.arange(self.next_new, self.next_new + n_insert, dtype=np.int64)
         self.next_new += n_insert
         live_ids = np.array(sorted(self.live), dtype=np.int64)
@@ -60,23 +126,17 @@ class CdcScheduleGenerator:
             else np.array([], dtype=np.int64)
         )
 
-        frames = []
-        for idx, is_del in ((ins, False), (upd, False), (dele, True)):
-            if idx.size == 0:
-                continue
-            if is_del:
-                f = pd.DataFrame({"image_id": [f"img{int(i):012d}" for i in idx]})
-                for c in ["w", "h", "phash"]:
-                    f[c] = pd.array([None] * len(f), dtype="Int64")
-                f["bytes"] = None
-                f["fmt"] = None
-                f["caption"] = None
-                f["op"] = "D"
-            else:
-                ver = np.array([self.live.get(int(i), -1) + 1 for i in idx], dtype=np.int64)
-                f = _payload_rows(idx, ver)
-                f["op"] = "U"
-            frames.append(f)
+        idx = np.concatenate([ins, upd, dele])
+        ver = np.concatenate(
+            [
+                np.zeros(ins.size, dtype=np.int64),
+                np.array([self.live[int(i)] + 1 for i in upd], dtype=np.int64),
+                np.full(dele.size, -1, dtype=np.int64),
+            ]
+        )
+        op = np.concatenate(
+            [np.full(ins.size + upd.size, "U"), np.full(dele.size, "D")]
+        )
 
         for i in ins:
             self.live[int(i)] = 0
@@ -85,12 +145,21 @@ class CdcScheduleGenerator:
         for i in dele:
             del self.live[int(i)]
 
-        batch = pd.concat(frames, ignore_index=True)
-        batch = batch.sample(frac=1.0, random_state=int(self.rng.integers(0, 2**31)))
-        batch["lsn"] = np.arange(self.next_lsn, self.next_lsn + len(batch), dtype=np.int64)
-        self.next_lsn += len(batch) + 1
-        cols = [f.name for f in CDC_SCHEMA.fields]
-        return batch[cols].reset_index(drop=True)
+        spec = pd.DataFrame({"idx": idx, "ver": ver, "op": op})
+        spec = spec.sample(
+            frac=1.0, random_state=int(self.rng.integers(0, 2**31))
+        ).reset_index(drop=True)
+        spec["lsn"] = np.arange(
+            self.next_lsn, self.next_lsn + len(spec), dtype=np.int64
+        )
+        self.next_lsn += len(spec) + 1
+        return spec
+
+    def next_batch(
+        self, n_insert: int, n_update: int, n_delete: int
+    ) -> pd.DataFrame:
+        """One batch materialized driver-side (small tests / pandas oracle)."""
+        return materialize_spec(self.next_spec(n_insert, n_update, n_delete))
 
     @property
     def commit_lsn(self) -> int:

@@ -26,6 +26,7 @@ Scale notes (10^12-image design point):
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -160,12 +161,16 @@ def merge_cdc_batch(
         return [e for e in entries if e.record_count > 0]
 
     src = [e.path for e in candidates]
+    t0 = time.perf_counter()
     if ckpt:
         del_entries = ckpt.run("deletes", write_deletes, sources=src).entries
+        t1 = time.perf_counter()
         ins_entries = ckpt.run("inserts", write_inserts, sources=["cdc"]).entries
     else:
         del_entries = write_deletes()
+        t1 = time.perf_counter()
         ins_entries = write_inserts()
+    t2 = time.perf_counter()
 
     n_upserted = sum(e.record_count for e in ins_entries)
     n_matched = sum(e.record_count for e in del_entries)
@@ -177,6 +182,8 @@ def merge_cdc_batch(
         "data_files": len(ins_entries),
         "pruned_candidates": len(candidates),
         "total_data_files": len(table.data_entries()),
+        "probe_delete_sec": round(t1 - t0, 3),
+        "insert_write_sec": round(t2 - t1, 3),
     }
     snap = table.commit(
         "merge",

@@ -43,10 +43,12 @@ def get_spark(
         # of few-file tables real split parallelism.
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.hadoop.parquet.block.size", str(32 * 1024 * 1024))
-        # modest heap: a giant heap makes the JVM grow into cold pages under
-        # load (slow first-touch in virtualized sandboxes); 16g is ample for
-        # local-mode jobs here and GC reuses warm pages instead
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # modest heap: this sandbox VM materializes guest pages lazily and
+        # slowly (~10-100 MB/s first-touch), so heap growth mid-job stalls
+        # executors in kernel time; 12g is ample for local-mode jobs here.
+        # Benchmarks additionally pass -Xms12g -XX:+AlwaysPreTouch to pay the
+        # page-materialization cost once at startup (see bench.py).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
