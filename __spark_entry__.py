@@ -1,11 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Each ``queries()`` entry exercises one operator family of the
-moonlink_spark engine (SURVEY.md §2) over the driver's parquet tables, with a
-DuckDB-equivalent ``oracle_sql()`` where SQL can express the semantics.
-Engine-native operators that SQL cannot express (MinHash LSH banding,
-SimHash, multi-table ANN) are included as rows-only checks and fully
-verified in tests/ against planted-duplicate and numpy oracles.
+moonlink_spark engine (SURVEY.md §2) over the driver's parquet tables, with
+a DuckDB-equivalent ``oracle_sql()`` for EVERY entry — including the
+seeded-hash operators (MinHash LSH, SimHash), whose hashes are
+engine-portable md5 derivations with the seeded constants inlined into the
+oracle SQL, and the engine-lifecycle entries, which run the real table
+engine (create → append → MERGE → compact/cluster/expire → snapshot scan)
+and compare the final table content against a closed-form SQL state.
 """
 
 from __future__ import annotations
@@ -137,30 +139,21 @@ def q_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine op: Morton Z-order code (codes.py) via vectorized pandas UDF;
+    """Engine op: Morton Z-order code (codes.py) as a pure JVM bitwise
+    expression (whole-stage codegen — the path cluster() uses for zorder);
     oracle recomputes the bit-interleave in pure SQL."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    from moonlink_spark.functions.codes import sfc_code
+    from moonlink_spark.functions.codes import zorder_expr
 
     li = _t(spark, sf_dir, "lineitem")
-
-    @pandas_udf("long")
-    def z(pk, sk):
-        return pd.Series(
-            sfc_code(
-                [pk.to_numpy(), sk.to_numpy()], [(0, 255), (0, 255)], "zorder"
-            )
-        )
-
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        z((F.col("l_partkey") % 256).cast("long"), (F.col("l_suppkey") % 256).cast("long")).alias(
-            "zcode"
-        ),
+    code = zorder_expr(
+        [
+            (F.col("l_partkey") % 256).cast("long"),
+            (F.col("l_suppkey") % 256).cast("long"),
+        ],
+        [(0, 255), (0, 255)],
+        total_bits=16,
     )
+    return li.select("l_orderkey", "l_linenumber", code.alias("zcode"))
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,12 +284,14 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine op: exact n-gram Jaccard near-dup scoring (dedup.py), top-20
-    most similar pairs among doc_id < 150."""
-    from moonlink_spark.functions.dedup import exact_jaccard
+    """Engine op: the scale-correct near-dup composition — MinHash-LSH
+    candidate pairs, exact shingle-Jaccard verification of candidates only,
+    top-20. The oracle replays the IDENTICAL pipeline in SQL (portable
+    md5-derived hashes), so approximation never causes a mismatch."""
+    from moonlink_spark.functions.dedup import verified_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    pairs = exact_jaccard(docs, "doc_id", "text", shingle_n=3)
+    pairs = verified_near_dup_pairs(docs, "doc_id", "text", shingle_n=3)
     return (
         pairs.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
         .limit(20)
@@ -305,19 +300,22 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine op: brute-force cosine top-k (similarity.py). Output ranks only
-    (float cosines are engine-rounding-sensitive)."""
-    from moonlink_spark.functions.similarity import brute_force_topk
+    """Engine op: exact cosine top-k via the matmul pandas stage
+    (similarity.exact_topk — one corpus pass, per-batch local top-k, tiny
+    global reduction). Output ranks only (float cosines are
+    engine-rounding-sensitive)."""
+    from moonlink_spark.functions.similarity import exact_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return brute_force_topk(emb, q, k=3).select("query_id", "neighbor_id", "rank")
+    return exact_topk(emb, q, k=3).select("query_id", "neighbor_id", "rank")
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine op: MinHash+LSH near-dup candidates (dedup.py). Not
-    SQL-expressible — rows-only check; semantics verified in
-    tests/test_pipeline_ops.py against planted duplicates."""
+    """Engine op: MinHash+LSH near-dup candidates (dedup.py). The signature
+    hashes are engine-portable (md5-derived + seeded affine permutations
+    inlined into the oracle SQL), so this seeded-hash operator has an exact
+    DuckDB oracle."""
     from moonlink_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -326,12 +324,157 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine op: SimHash signatures (dedup.py). Rows-only check (xxhash64
-    seeding is Spark-specific); semantics verified in tests."""
+    """Engine op: SimHash signatures (dedup.py; 60-bit portable md5 token
+    hashes) — exact DuckDB oracle reconstructs the bit votes in SQL."""
     from moonlink_spark.functions.dedup import simhash_signatures
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return simhash_signatures(docs, "doc_id", "text").orderBy("id")
+
+
+# ------------------------------------------------- engine lifecycle queries
+#
+# These run the ACTUAL table engine end-to-end (create → append → MERGE
+# CDC batches → maintenance → snapshot scan) on a deterministic image-style
+# table derived from the driver's orders parquet, so the DuckDB oracle
+# checks the engine itself — commit protocol, positional deletes, DV-aware
+# scan, compaction content preservation, clustering rewrite, LSN time
+# travel — not just the function library.
+
+
+def _lifecycle_table(spark: SparkSession, sf_dir: str, post: str | None = None):
+    """Build an image-schema table from orders; apply two CDC batches via
+    merge_cdc_batch; optionally run maintenance. Returns the Table.
+
+    CDC design (k = o_orderkey), chosen so the final state is a closed-form
+    SQL predicate:
+      base    : k%10<3
+      b1 upd  : k%10<3 and k%7==1  (caption + ' v2')
+      b1 del  : k%10<3 and k%7==2
+      b1 ins  : k%10==5 and k%3==0
+      b2 upd  : k%10<3 and k%7==4  (caption + ' v3')
+      b2 del  : k%10<3 and k%7==5
+      b2 ins  : k%10==7 and k%3==1
+    """
+    import tempfile
+
+    from moonlink_spark.operators.cluster import cluster
+    from moonlink_spark.operators.maintenance import optimize_table
+    from moonlink_spark.operators.merge import merge_cdc_batch
+    from moonlink_spark.schema import IMAGES_SCHEMA
+    from moonlink_spark.table.catalog import create_table
+    from moonlink_spark.table.writer import write_data_files
+
+    k = F.col("o_orderkey")
+
+    def rows(df):
+        return df.select(
+            k.cast("string").alias("image_id"),
+            F.col("o_orderpriority").cast("binary").alias("bytes"),
+            (k % 100).cast("int").alias("w"),
+            F.length("o_orderpriority").cast("int").alias("h"),
+            F.col("o_orderstatus").alias("fmt"),
+            F.col("o_orderpriority").alias("caption"),
+            F.col("o_custkey").cast("long").alias("phash"),
+        )
+
+    def cdc(upd_df, del_df, suffix):
+        u = rows(upd_df).withColumn(
+            "caption", F.concat(F.col("caption"), F.lit(suffix))
+        ).select(
+            F.lit("U").alias("op"),
+            F.col("image_id").cast("long").alias("lsn"),
+            "*",
+        )
+        d = del_df.select(
+            F.lit("D").alias("op"),
+            k.cast("long").alias("lsn"),
+            k.cast("string").alias("image_id"),
+            F.lit(None).cast("binary").alias("bytes"),
+            F.lit(None).cast("int").alias("w"),
+            F.lit(None).cast("int").alias("h"),
+            F.lit(None).cast("string").alias("fmt"),
+            F.lit(None).cast("string").alias("caption"),
+            F.lit(None).cast("long").alias("phash"),
+        )
+        return u.unionByName(d)
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(k % 10 < 3)
+    wd = tempfile.mkdtemp(prefix="moonlink_lifecycle_")
+    t = create_table(f"{wd}/tbl", IMAGES_SCHEMA)
+    entries = write_data_files(
+        spark, rows(base), t.new_data_dir(), max_records_per_file=4096
+    )
+    t.commit("append", added=entries, lsn=1)
+
+    b1 = cdc(
+        orders.filter((k % 10 < 3) & (k % 7 == 1)),
+        orders.filter((k % 10 < 3) & (k % 7 == 2)),
+        " v2",
+    ).unionByName(
+        rows(orders.filter((k % 10 == 5) & (k % 3 == 0))).select(
+            F.lit("U").alias("op"), F.col("image_id").cast("long").alias("lsn"), "*"
+        )
+    )
+    merge_cdc_batch(spark, t, b1, lsn=2)
+
+    b2 = cdc(
+        orders.filter((k % 10 < 3) & (k % 7 == 4)),
+        orders.filter((k % 10 < 3) & (k % 7 == 5)),
+        " v3",
+    ).unionByName(
+        rows(orders.filter((k % 10 == 7) & (k % 3 == 1))).select(
+            F.lit("U").alias("op"), F.col("image_id").cast("long").alias("lsn"), "*"
+        )
+    )
+    merge_cdc_batch(spark, t, b2, lsn=3)
+
+    if post == "compact":
+        optimize_table(spark, t, mode="full", retain_last=2)
+    elif post == "cluster":
+        cluster(spark, t, cols=("phash", "w", "h"), strategy="zorder")
+    return t
+
+
+_LIFECYCLE_COLS = ["image_id", "caption", "phash"]
+
+
+def q_engine_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: append + 2 MERGE CDC batches (upsert/delete, positional
+    deletes, DV-aware scan) → final snapshot content."""
+    from moonlink_spark.table.scan import scan
+
+    t = _lifecycle_table(spark, sf_dir)
+    return scan(spark, t).select(*_LIFECYCLE_COLS)
+
+
+def q_engine_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: MERGE batches then FULL maintenance (bin-pack compaction
+    folding deletes + manifest rewrite + snapshot expiry) — content must be
+    byte-identical to the pre-compaction state."""
+    from moonlink_spark.table.scan import scan
+
+    t = _lifecycle_table(spark, sf_dir, post="compact")
+    return scan(spark, t).select(*_LIFECYCLE_COLS)
+
+
+def q_engine_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: MERGE batches then Z-order clustering rewrite on
+    (phash, w, h) — content preserved, layout re-ordered."""
+    from moonlink_spark.table.scan import scan
+
+    t = _lifecycle_table(spark, sf_dir, post="cluster")
+    return scan(spark, t).select(*_LIFECYCLE_COLS)
+
+
+def q_engine_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: snapshot-isolation time travel — after both MERGE
+    batches, read back at LSN 2 (post-batch-1 state)."""
+    from moonlink_spark.table.scan import scan_at_lsn
+
+    t = _lifecycle_table(spark, sf_dir)
+    return scan_at_lsn(spark, t, lsn=2).select(*_LIFECYCLE_COLS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -354,10 +497,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "engine_merge_scan": q_engine_merge_scan,
+        "engine_compact_scan": q_engine_compact_scan,
+        "engine_cluster_scan": q_engine_cluster_scan,
+        "engine_timetravel": q_engine_timetravel,
     }
 
 
 # -------------------------------------------------------------------- oracle
+
+
+def _minhash_sql_parts(
+    filter_expr: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> str:
+    """Shared CTE prefix replaying dedup.minhash_signatures +
+    lsh_candidate_pairs in DuckDB SQL: portable md5-derived 32-bit shingle
+    hashes and the SAME seeded (a, b) permutation constants inlined."""
+    from moonlink_spark.functions.dedup import _MERSENNE, minhash_coeffs
+
+    a, b = minhash_coeffs(num_hashes, seed)
+    mins = ",\n                ".join(
+        f"list_min(list_transform(hs, h -> ({a[j]} * h + {b[j]}) % {_MERSENNE})) AS s{j}"
+        for j in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        "struct_pack(band := {}, key := md5({}))".format(
+            bb,
+            " || ',' || ".join(
+                f"CAST(s{bb * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for bb in range(bands)
+    )
+    return f"""
+            WITH d AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                FROM documents WHERE {filter_expr}
+            ), sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    range(1, greatest(len(t) - {shingle_n - 1}, 1) + 1),
+                    i -> array_to_string(list_slice(t, i, i + {shingle_n - 1}), ' '))) AS shingles
+                FROM d
+            ), hx AS (
+                SELECT doc_id, list_transform(shingles, s ->
+                    CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+                FROM sh
+            ), sig AS (
+                SELECT doc_id, {mins}
+                FROM hx
+            ), bands_t AS (
+                SELECT doc_id, bk.band AS band, bk.key AS key FROM (
+                    SELECT doc_id, unnest([{band_structs}]) AS bk FROM sig
+                )
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands_t a JOIN bands_t b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            )
+    """
+
+
+def _simhash_sql(filter_expr: str, bits: int = 60) -> str:
+    """Replay dedup.simhash_signatures in DuckDB SQL: portable 60-bit md5
+    token hashes, per-bit +1/-1 votes, signature reconstruction."""
+    votes = ",\n                       ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(bits)
+    )
+    recon = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+            WITH d AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                FROM documents WHERE {filter_expr}
+            ), tok AS (
+                SELECT doc_id, CAST('0x' || substr(md5(u), 1, 15) AS BIGINT) AS h
+                FROM (SELECT doc_id, unnest(t) AS u FROM d)
+            ), v AS (
+                SELECT doc_id, {votes}
+                FROM tok GROUP BY doc_id
+            )
+            SELECT doc_id AS id, CAST({recon} AS BIGINT) AS simhash
+            FROM v ORDER BY id
+    """
+
+
+_LIFECYCLE_BASE_SQL = """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS c, o_custkey AS ph
+        FROM orders
+    )
+"""
 
 
 def _zorder_sql_terms() -> str:
@@ -516,29 +752,62 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
         """,
-        "ngram_jaccard_topk": """
-            WITH d AS (
-                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-                FROM documents WHERE doc_id < 150
-            ), sh AS (
-                SELECT DISTINCT doc_id, s
-                FROM d, UNNEST(list_transform(
-                    range(1, greatest(len(t) - 2, 0) + 1),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
-            ), sizes AS (
-                SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
-            ), inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
+        "ngram_jaccard_topk": _minhash_sql_parts("doc_id < 150") + """
             SELECT id_a, id_b,
-                   round(i / (sa.sz + sb.sz - i), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
+                   round(len(list_intersect(sa.shingles, sb.shingles)) /
+                         (len(sa.shingles) + len(sb.shingles)
+                          - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+            FROM pairs
+            JOIN sh sa ON sa.doc_id = id_a
+            JOIN sh sb ON sb.doc_id = id_b
             ORDER BY jaccard DESC, id_a, id_b
             LIMIT 20
+        """,
+        "minhash_lsh_pairs": _minhash_sql_parts("doc_id < 200") + """
+            SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b
+        """,
+        "simhash": _simhash_sql("doc_id < 200"),
+        "engine_merge_scan": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
+                        WHEN k % 10 < 3 AND k % 7 = 4 THEN c || ' v3'
+                        ELSE c END AS caption,
+                   ph AS phash
+            FROM base
+            WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 5))
+               OR (k % 10 = 5 AND k % 3 = 0)
+               OR (k % 10 = 7 AND k % 3 = 1)
+        """,
+        "engine_compact_scan": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
+                        WHEN k % 10 < 3 AND k % 7 = 4 THEN c || ' v3'
+                        ELSE c END AS caption,
+                   ph AS phash
+            FROM base
+            WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 5))
+               OR (k % 10 = 5 AND k % 3 = 0)
+               OR (k % 10 = 7 AND k % 3 = 1)
+        """,
+        "engine_cluster_scan": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
+                        WHEN k % 10 < 3 AND k % 7 = 4 THEN c || ' v3'
+                        ELSE c END AS caption,
+                   ph AS phash
+            FROM base
+            WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 5))
+               OR (k % 10 = 5 AND k % 3 = 0)
+               OR (k % 10 = 7 AND k % 3 = 1)
+        """,
+        "engine_timetravel": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
+                        ELSE c END AS caption,
+                   ph AS phash
+            FROM base
+            WHERE (k % 10 < 3 AND k % 7 <> 2)
+               OR (k % 10 = 5 AND k % 3 = 0)
         """,
         "embedding_topk": """
             SELECT query_id, neighbor_id, rank FROM (
@@ -553,6 +822,4 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
             ) WHERE rank <= 3
         """,
-        # minhash_lsh_pairs / simhash: intentionally no SQL oracle —
-        # seeded-hash algorithms; rows-only here, planted-dup tests in tests/
     }

@@ -14,7 +14,11 @@ work is pure numpy bit arithmetic, no per-row Python.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
 
 
 def normalize_to_bits(x: np.ndarray, lo: int, hi: int, bits: int) -> np.ndarray:
@@ -68,6 +72,33 @@ def hilbert_index(cols: list[np.ndarray], bits: int) -> np.ndarray:
     for i in range(n):
         X[i] ^= t
     return morton_interleave(X, bits)
+
+
+def zorder_expr(
+    cols: list[Column],
+    bounds: list[tuple[int, int]],
+    total_bits: int = 63,
+) -> Column:
+    """Morton Z-order as a PURE built-in column expression (shift/and/or
+    terms) — stays inside whole-stage codegen, no Python anywhere.
+
+    Bit-identical to ``sfc_code(..., "zorder")``: same normalize (subtract
+    lo, right-shift excess range bits) and same interleave (col 0 takes the
+    most-significant bit of each group). This is the preferred clustering
+    path; the numpy version remains for Hilbert (whose state machine does
+    not reduce to a flat bitwise expression).
+    """
+    k = len(cols)
+    bits = max(1, total_bits // k)
+    terms: list[Column] = []
+    for i, (c, (lo, hi)) in enumerate(zip(cols, bounds)):
+        span = max(int(hi) - int(lo), 0)
+        shift = max(0, span.bit_length() - bits)
+        nc = F.shiftrightunsigned((c.cast("long") - F.lit(int(lo))), shift)
+        for b in range(bits):
+            bit = F.shiftrightunsigned(nc, b).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, b * k + (k - 1 - i)))
+    return reduce(lambda x, y: x.bitwiseOR(y), terms).cast("long")
 
 
 def sfc_code(

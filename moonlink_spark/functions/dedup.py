@@ -49,6 +49,24 @@ def word_shingles(text_col, n: int = 3):
     )
 
 
+def minhash_coeffs(num_hashes: int = 64, seed: int = 42) -> tuple[list[int], list[int]]:
+    """The seeded (a, b) permutation coefficients — exposed so an external
+    oracle (e.g. the DuckDB contract SQL) can inline the same constants.
+    a < 2^30 and shingle hashes < 2^32 keep a*h+b inside int64 in ANY engine."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**30, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, 2**30, size=num_hashes, dtype=np.int64)
+    return a.tolist(), b.tolist()
+
+
+def portable_hash32(col):
+    """Engine-portable 32-bit string hash: first 8 hex chars of md5.
+    Spark: conv(substr(md5,1,8),16,10); DuckDB: CAST('0x'||substr(md5,1,8)
+    AS BIGINT) — identical values, so seeded-hash operators get real SQL
+    oracles instead of rows-only checks."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -57,40 +75,46 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig: array<long>) — one Arrow-batched pass; numpy per batch.
+    """(id, sig: array<long>) — one Arrow-batched pass, no shuffle.
 
-    NOTE: uses a deterministic string hash via xxhash64 on the Spark side to
-    stay seed-stable across Python processes.
+    Shingle hashing is the engine-portable md5-derived 32-bit hash (JVM-side
+    built-ins); the per-batch minhash fold is fully vectorized numpy over the
+    FLATTENED batch (concatenate + minimum.reduceat) — no per-document
+    Python loop. sig_i = min over shingles of (a_i*h + b_i) mod (2^61-1),
+    all int64-exact in both Spark and DuckDB.
     """
     shingled = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
-    # deterministic 63-bit shingle hashes JVM-side, then numpy minhash
     hashed = shingled.select(
-        "id",
-        F.transform(
-            F.col("sh"), lambda s: F.abs(F.xxhash64(s))
-        ).alias("shingles"),
+        "id", F.transform(F.col("sh"), portable_hash32).alias("shingles")
     )
+    a_l, b_l = minhash_coeffs(num_hashes, seed)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rng = np.random.default_rng(seed)
-        a = rng.integers(1, 2**31, size=num_hashes, dtype=np.int64)
-        b = rng.integers(0, 2**31, size=num_hashes, dtype=np.int64)
+        a = np.asarray(a_l, dtype=np.int64)[:, None]
+        b = np.asarray(b_l, dtype=np.int64)[:, None]
         for pdf in batches:
-            sigs = []
-            for hs in pdf["shingles"]:
-                if hs is None or len(hs) == 0:
-                    sigs.append([0] * num_hashes)
-                    continue
-                arr = np.asarray(hs, dtype=np.uint64) % np.uint64(_MERSENNE)
-                # (num_hashes, n_shingles) without python loops
-                m = (
-                    a[:, None].astype(np.uint64) * arr[None, :] + b[:, None].astype(np.uint64)
-                ) % np.uint64(_MERSENNE)
-                sigs.append(m.min(axis=1).astype(np.int64).tolist())
-            yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
+            lens = np.array([0 if h is None else len(h) for h in pdf["shingles"]])
+            n_docs = len(lens)
+            if n_docs == 0:
+                yield pd.DataFrame({"id": pdf["id"], "sig": []})
+                continue
+            flat = (
+                np.concatenate([np.asarray(h, dtype=np.int64) for h in pdf["shingles"] if h is not None and len(h)])
+                if lens.sum()
+                else np.empty(0, dtype=np.int64)
+            )
+            # (num_hashes, total_shingles): one multiply-add-mod for the batch
+            m = (a * flat[None, :] + b) % _MERSENNE
+            sigs = np.zeros((n_docs, len(a_l)), dtype=np.int64)
+            nz = lens > 0
+            if nz.any():
+                offsets = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+                mins = np.minimum.reduceat(m, offsets, axis=1)  # (H, nz_docs)
+                sigs[nz] = mins.T
+            yield pd.DataFrame({"id": pdf["id"], "sig": list(sigs)})
 
     return hashed.mapInPandas(run, schema="id long, sig array<long>")
 
@@ -99,7 +123,8 @@ def lsh_candidate_pairs(
     sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
     """Band the signatures; pairs sharing any band bucket are candidates.
-    Self-join is on (band, bucket-hash) — uniform keys, bounded fan-out."""
+    Self-join is on (band, bucket-hash) — uniform keys, bounded fan-out.
+    The bucket is md5 of the band's signature slice (engine-portable)."""
     banded = sig_df.select(
         "id",
         F.explode(
@@ -107,7 +132,7 @@ def lsh_candidate_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    F.md5(
                         F.concat_ws(
                             ",",
                             F.transform(
@@ -174,40 +199,58 @@ def exact_jaccard(
     )
 
 
+SIMHASH_BITS = 60  # below int64's sign bit so ANY engine reconstructs it
+
+
+def portable_hash60(col):
+    """Engine-portable 60-bit string hash: first 15 hex chars of md5 (keeps
+    1 << 59 inside int64 in both Spark and DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """64-bit SimHash from token xxhash64 values (numpy bit-count per batch)."""
+    """SimHash from portable md5-derived token hashes.
+
+    The per-batch fold is fully vectorized over the flattened batch
+    (bit-matrix + add.reduceat) — no per-document Python loop. 60 bits (not
+    64) so the signature and its SQL oracle reconstruction stay inside
+    signed int64 in every engine.
+    """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.transform(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: F.xxhash64(t)
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), portable_hash60
         ).alias("th"),
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(bits, dtype=np.int64)
         for pdf in batches:
-            out = []
-            for hs in pdf["th"]:
-                if hs is None or len(hs) == 0:
-                    out.append(0)
-                    continue
-                arr = np.asarray(hs, dtype=np.uint64)
-                cols = ((arr[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1))
-                votes = cols.sum(axis=0) * 2 - len(arr)  # +1/-1 votes
-                sim = np.uint64(0)
-                for b in np.nonzero(votes > 0)[0]:
-                    sim |= np.uint64(1) << np.uint64(b)
-                out.append(int(sim.astype(np.int64)))
+            lens = np.array([0 if h is None else len(h) for h in pdf["th"]])
+            out = np.zeros(len(lens), dtype=np.int64)
+            nz = lens > 0
+            if nz.any():
+                flat = np.concatenate(
+                    [np.asarray(h, dtype=np.int64) for h in pdf["th"] if h is not None and len(h)]
+                )
+                bitmat = ((flat[:, None] >> shifts[None, :]) & 1).astype(np.int64)
+                offsets = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+                ones = np.add.reduceat(bitmat, offsets, axis=0)  # (docs, bits)
+                votes = 2 * ones - lens[nz][:, None]
+                out[nz] = ((votes > 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
             yield pd.DataFrame({"id": pdf["id"], "simhash": out})
 
     return toks.mapInPandas(run, schema="id long, simhash long")
 
 
-def simhash_near_dups(sim_df: DataFrame, band_bits: int = 16) -> DataFrame:
-    """Near-dup candidates: docs sharing any of the 64/band_bits simhash
+def simhash_near_dups(
+    sim_df: DataFrame, band_bits: int = 15, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Near-dup candidates: docs sharing any of the bits/band_bits simhash
     bands (Hamming-distance LSH)."""
-    nbands = 64 // band_bits
+    nbands = bits // band_bits
     banded = sim_df.select(
         "id",
         F.explode(
@@ -234,4 +277,48 @@ def simhash_near_dups(sim_df: DataFrame, band_bits: int = 16) -> DataFrame:
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
+    )
+
+
+def verified_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """The scale-correct near-dup pipeline: MinHash LSH candidate pairs →
+    exact shingle-Jaccard verification of CANDIDATES ONLY.
+
+    Never materializes all-pairs: the only quadratic-risk step is the band
+    self-join, whose fan-out is bounded by bucket sizes (uniform md5 keys).
+    The verify step joins each candidate pair to its two (distinct-)shingle
+    sets and computes |A∩B| via JVM array_intersect — O(|A|+|B|) per pair,
+    no shingle-level join. Fully SQL-expressible, so the whole pipeline has
+    an exact DuckDB oracle (see __spark_entry__.oracle_sql).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    shing = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    a = shing.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shing.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter / (F.size("sh_a") + F.size("sh_b") - inter), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
     )

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from moonlink_spark.checkpoint import JobCheckpoint
-from moonlink_spark.functions.codes import sfc_code
+from moonlink_spark.functions.codes import sfc_code, zorder_expr
 from moonlink_spark.operators.compact import _delete_counts, removable_delete_files
 from moonlink_spark.table.catalog import Table
 from moonlink_spark.table.format import FileEntry, Snapshot
@@ -100,8 +100,15 @@ def cluster(
 
     def rewrite() -> list[FileEntry]:
         live = scan(spark, table, data_entries=entries)
-        code_udf = make_code_udf(list(cols), bounds, strategy)
-        coded = live.withColumn(CODE_COL, code_udf(*[F.col(c) for c in cols]))
+        if strategy == "zorder":
+            # Z-order reduces to a flat bitwise expression — keep it inside
+            # whole-stage codegen, zero Python on the rewrite path
+            code_col = zorder_expr([F.col(c) for c in cols], bounds)
+        else:
+            code_col = make_code_udf(list(cols), bounds, strategy)(
+                *[F.col(c) for c in cols]
+            )
+        coded = live.withColumn(CODE_COL, code_col)
         arranged = (
             coded.repartitionByRange(bins, CODE_COL)
             .sortWithinPartitions(CODE_COL)

@@ -19,8 +19,9 @@ def test_oracle_keys_subset_of_queries():
     qs = set(entrymod.queries())
     os_ = set(entrymod.oracle_sql())
     assert os_ <= qs
-    # only the seeded-hash ops may lack an oracle
-    assert qs - os_ == {"minhash_lsh_pairs", "simhash"}
+    # every query has an oracle — seeded-hash ops use engine-portable md5
+    # hashing so even they are SQL-checkable
+    assert qs - os_ == set()
 
 
 def test_oracle_match_sf0001(spark):
