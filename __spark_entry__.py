@@ -363,7 +363,7 @@ def _lifecycle_table(spark: SparkSession, sf_dir: str, post: str | None = None):
     from moonlink_spark.operators.merge import merge_cdc_batch
     from moonlink_spark.schema import IMAGES_SCHEMA
     from moonlink_spark.table.catalog import create_table
-    from moonlink_spark.table.writer import write_data_files
+    from moonlink_spark.table.writer import BUCKETS_PROP, write_bucketed_data_files
 
     k = F.col("o_orderkey")
 
@@ -402,9 +402,10 @@ def _lifecycle_table(spark: SparkSession, sf_dir: str, post: str | None = None):
     orders = _t(spark, sf_dir, "orders")
     base = orders.filter(k % 10 < 3)
     wd = tempfile.mkdtemp(prefix="moonlink_lifecycle_")
-    t = create_table(f"{wd}/tbl", IMAGES_SCHEMA)
-    entries = write_data_files(
-        spark, rows(base), t.new_data_dir(), max_records_per_file=4096
+    t = create_table(f"{wd}/tbl", IMAGES_SCHEMA, properties={BUCKETS_PROP: "16"})
+    entries = write_bucketed_data_files(
+        spark, rows(base), t.new_data_dir(), "image_id", 16,
+        max_records_per_file=4096,
     )
     t.commit("append", added=entries, lsn=1)
 

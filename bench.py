@@ -58,6 +58,7 @@ SHUFFLE_PARTITIONS = 64
 LOAD_ROWS_PER_FILE = 3072       # ~48 MiB data files at ~15.6 KiB/row
 COMPACT_TARGET = 64 * 1024 * 1024
 SCAN_SPLIT_BYTES = 8 * 1024 * 1024
+KEY_BUCKETS = 64                # hash-bucketed layout (MERGE probe pruning)
 
 
 def _force(df) -> None:
@@ -90,19 +91,20 @@ def bench_engine(spark, workdir: str) -> dict:
     from moonlink_spark.schema import IMAGES_SCHEMA
     from moonlink_spark.table.catalog import create_table
     from moonlink_spark.table.scan import scan
-    from moonlink_spark.table.writer import write_data_files
+    from moonlink_spark.table.writer import BUCKETS_PROP, write_bucketed_data_files
 
     spark.conf.set("spark.sql.shuffle.partitions", str(SHUFFLE_PARTITIONS))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(SCAN_SPLIT_BYTES))
 
     loc = os.path.join(workdir, "bench_images")
-    t = create_table(loc, IMAGES_SCHEMA)
+    t = create_table(loc, IMAGES_SCHEMA, properties={BUCKETS_PROP: str(KEY_BUCKETS)})
 
     # initial load (not timed as merge; the flush/append path)
     t0 = time.perf_counter()
     df = generate_images(spark, BENCH_ROWS, partitions=LAYOUT_PARTITIONS)
-    entries = write_data_files(
-        spark, df, t.new_data_dir(), max_records_per_file=LOAD_ROWS_PER_FILE
+    entries = write_bucketed_data_files(
+        spark, df, t.new_data_dir(), "image_id", KEY_BUCKETS,
+        max_records_per_file=LOAD_ROWS_PER_FILE,
     )
     t.commit("append", added=entries, lsn=1)
     load_sec = time.perf_counter() - t0

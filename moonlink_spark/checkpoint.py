@@ -19,6 +19,7 @@ import os
 from dataclasses import dataclass
 
 from moonlink_spark.table.format import FileEntry
+from moonlink_spark.table.io import accessor_for
 
 
 @dataclass
@@ -40,20 +41,20 @@ def skew_ratio(entries: list[FileEntry]) -> float:
 class JobCheckpoint:
     def __init__(self, root: str, job_id: str):
         self.dir = os.path.join(root, job_id)
-        os.makedirs(self.dir, exist_ok=True)
+        self._acc = accessor_for(self.dir)
+        self._acc.mkdirs(self.dir)
 
     def _path(self, step: str) -> str:
         return os.path.join(self.dir, f"step-{step}.json")
 
     def load(self, step: str) -> StepResult | None:
         p = self._path(step)
-        if not os.path.exists(p):
+        if not self._acc.exists(p):
             return None
-        with open(p) as f:
-            d = json.load(f)
+        d = json.loads(self._acc.read_text(p))
         entries = [FileEntry.from_dict(e) for e in d["entries"]]
         # outputs must still exist — a torn write invalidates the step
-        if not all(os.path.exists(e.path) for e in entries):
+        if not all(accessor_for(e.path).exists(e.path) for e in entries):
             return None
         return StepResult(
             name=step,
@@ -75,17 +76,16 @@ class JobCheckpoint:
         metrics.setdefault("rows", sum(e.record_count for e in entries))
         metrics.setdefault("bytes", sum(e.file_size_bytes for e in entries))
         metrics.setdefault("skew_ratio", skew_ratio(entries))
-        tmp = self._path(step) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
+        self._acc.write_atomic(
+            self._path(step),
+            json.dumps(
                 {
                     "entries": [e.to_dict() for e in entries],
                     "metrics": metrics,
                     "sources": sources or [],
-                },
-                f,
-            )
-        os.rename(tmp, self._path(step))
+                }
+            ),
+        )
         return StepResult(step, entries, metrics, sources or [], reused=False)
 
     def run(self, step: str, fn, sources: list[str] | None = None, metrics: dict | None = None) -> StepResult:
@@ -98,8 +98,8 @@ class JobCheckpoint:
 
     def all_metrics(self) -> dict:
         out = {}
-        for fn in sorted(os.listdir(self.dir)):
-            if fn.startswith("step-") and fn.endswith(".json"):
-                with open(os.path.join(self.dir, fn)) as f:
-                    out[fn[5:-5]] = json.load(f)["metrics"]
+        for p in self._acc.list(self.dir, suffix=".json"):
+            fn = os.path.basename(p)
+            if fn.startswith("step-"):
+                out[fn[5:-5]] = json.loads(self._acc.read_text(p))["metrics"]
         return out

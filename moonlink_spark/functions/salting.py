@@ -100,7 +100,14 @@ def latest_wins_dedup(
     scatter across partitions by their distinct LSNs.)
 
     Requires (order_col, tiebreak_col) unique per key among tied winners —
-    CDC LSNs are globally unique, so this holds by construction.
+    CDC LSNs are globally unique, so this holds by construction (a duplicated
+    event at the same (key, order, tiebreak) would survive twice; enforce
+    upstream uniqueness, e.g. LSN assignment).
+
+    NULL keys are handled: the join is null-safe, so a NULL-key group
+    dedups like any other group instead of being silently dropped.
     """
     staged, winners = winning_ords(df, key, order_col, tiebreak_col)
-    return staged.join(winners, [key, ORD_COL], "left_semi").drop(ORD_COL)
+    w = winners.withColumnRenamed(key, "__wk").withColumnRenamed(ORD_COL, "__wo")
+    cond = staged[key].eqNullSafe(F.col("__wk")) & (staged[ORD_COL] == F.col("__wo"))
+    return staged.join(w, cond, "left_semi").drop(ORD_COL)

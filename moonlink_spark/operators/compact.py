@@ -38,7 +38,6 @@ swept later by rewrite_manifests.
 
 from __future__ import annotations
 
-import glob
 import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
@@ -49,9 +48,10 @@ from pyspark.sql import functions as F
 from moonlink_spark.checkpoint import JobCheckpoint
 from moonlink_spark.table.catalog import Table
 from moonlink_spark.table.format import FileEntry, Snapshot
+from moonlink_spark.table.io import accessor_for
 from moonlink_spark.table.scan import scan
 from moonlink_spark.table.stats import collect_file_entries
-from moonlink_spark.table.writer import COMPACT_TARGET_BYTES
+from moonlink_spark.table.writer import COMPACT_TARGET_BYTES, list_parquet
 
 BEST_EFFORT = "best_effort"
 FORCE_REGULAR = "force_regular"
@@ -87,21 +87,29 @@ def removable_delete_files(
 ) -> set[str]:
     """Delete files whose rows ALL reference removed data files — safe to drop
     in the same commit (moonlink's deletion-log remap analog, O11,
-    snapshot_maintenance.rs:369-424)."""
+    snapshot_maintenance.rs:369-424).
+
+    The all-dangling predicate is computed as an aggregate (min over a
+    broadcast-membership flag), so the driver receives one row per DELETE
+    FILE — never per referenced data file — even when a delete file touches
+    millions of data files."""
     dels = table.delete_entries()
     if not dels:
         return set()
     ddf = spark.read.schema("file_path string, pos long").parquet(*[e.path for e in dels])
+    removed = F.broadcast(
+        spark.createDataFrame([(p,) for p in removed_data_paths], "rp string")
+    )
     refs = (
         ddf.withColumn("src", F.input_file_name())
         .withColumn("src", F.regexp_replace("src", r"^file:/+", "/"))
+        .join(removed, F.col("file_path") == F.col("rp"), "left")
         .groupBy("src")
-        .agg(F.collect_set("file_path").alias("targets"))
+        .agg(F.min(F.col("rp").isNotNull().cast("int")).alias("all_removed"))
+        .filter(F.col("all_removed") == 1)
         .collect()
     )
-    return {
-        r["src"] for r in refs if all(t in removed_data_paths for t in r["targets"])
-    }
+    return {r["src"] for r in refs}
 
 
 def _live_bytes(e: FileEntry, del_counts: dict[str, int]) -> int:
@@ -149,25 +157,37 @@ def plan_bins(
 ) -> list[list[FileEntry]]:
     """Greedy size packing of whole files into ~target_bytes bins, ordered by
     each file's lower bound on ``order_col`` so pre-existing key clustering
-    carries into the outputs (and manifest bounds stay tight)."""
+    carries into the outputs (and manifest bounds stay tight).
+
+    Files are grouped by key-bucket first — bins never mix buckets, so the
+    compacted outputs stay bucket-pure and MERGE probe pruning survives
+    compaction (moonlink rebuilds its file index on compaction for the same
+    reason, reference: src/moonlink/src/storage/compaction/compactor.rs:130-168).
+    Un-bucketed files (bucket None) form their own group.
+    """
 
     def sort_key(e: FileEntry):
         st = e.stats.get(order_col) or {}
         mn = st.get("min")
         return (0, mn) if mn is not None else (1, e.path)
 
+    groups: dict[int | None, list[FileEntry]] = {}
+    for e in selected:
+        groups.setdefault(e.bucket, []).append(e)
+
     bins: list[list[FileEntry]] = []
-    cur: list[FileEntry] = []
-    cur_bytes = 0
-    for e in sorted(selected, key=sort_key):
-        lb = _live_bytes(e, del_counts)
-        if cur and cur_bytes + lb > target_bytes:
+    for _, group in sorted(groups.items(), key=lambda kv: (kv[0] is None, kv[0] or 0)):
+        cur: list[FileEntry] = []
+        cur_bytes = 0
+        for e in sorted(group, key=sort_key):
+            lb = _live_bytes(e, del_counts)
+            if cur and cur_bytes + lb > target_bytes:
+                bins.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(e)
+            cur_bytes += lb
+        if cur:
             bins.append(cur)
-            cur, cur_bytes = [], 0
-        cur.append(e)
-        cur_bytes += lb
-    if cur:
-        bins.append(cur)
     return bins
 
 
@@ -201,7 +221,7 @@ def compact(
     # deterministic per base snapshot: a crashed run's resume lands in the
     # same directory and per-bin overwrite makes partial outputs idempotent
     out_root = os.path.join(table.location, "data", f"compact-{base_snapshot}")
-    os.makedirs(out_root, exist_ok=True)
+    accessor_for(out_root).mkdirs(out_root)
 
     def rewrite_bin(i: int) -> list[FileEntry]:
         bin_entries = bins[i]
@@ -209,10 +229,17 @@ def compact(
         live = scan(spark, table, data_entries=bin_entries)
         # one streaming-concat task per output file, moonlink compactor-style
         live.coalesce(1).write.mode("overwrite").parquet(out_dir)
-        paths = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
-        return [
-            e for e in collect_file_entries(spark, paths) if e.record_count > 0
+        out = [
+            e
+            for e in collect_file_entries(spark, list_parquet(out_dir))
+            if e.record_count > 0
         ]
+        # bins never mix buckets (plan_bins) — outputs inherit the bin's bucket
+        bin_buckets = {e.bucket for e in bin_entries}
+        if len(bin_buckets) == 1:
+            for e in out:
+                e.bucket = next(iter(bin_buckets))
+        return out
 
     def run_bin(i: int) -> list[FileEntry]:
         if ckpt:

@@ -12,11 +12,11 @@ always kept). Orphan sweep covers data files, delete files, and manifests.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 from moonlink_spark.table.catalog import Table
 from moonlink_spark.table.format import TableMetadata, read_manifest
+from moonlink_spark.table.io import accessor_for
 
 
 @dataclass
@@ -73,9 +73,7 @@ def expire_snapshots(table: Table, retain_last: int = 2) -> ExpireResult:
 
     # physical GC strictly after the metadata commit — a crash between the
     # two leaves harmless orphans, never a broken retained snapshot
-    for p in drop_files | drop_manifests:
-        try:
-            os.remove(p)
-        except FileNotFoundError:
-            pass
+    drop_snaps = {s.file for s in expired if s.file}
+    for p in drop_files | drop_manifests | drop_snaps:
+        accessor_for(p).delete(p)
     return ExpireResult(len(expired), len(drop_files), len(drop_manifests))

@@ -54,6 +54,39 @@ def _check_schema(sample_path: str, table_schema: StructType) -> None:
             )
 
 
+def _distinct_schema_samples(spark: SparkSession, paths: list[str]) -> list[str]:
+    """One representative path per DISTINCT file schema, so validation cost
+    is O(distinct schemas) driver-side while the signature scan stays
+    distributed for large file lists (same ≤512 heuristic as stats)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    def sig(p: str) -> str:
+        s = pq.read_schema(p)
+        return ";".join(f"{n}:{s.field(n).type}" for n in s.names)
+
+    if len(paths) <= 512:
+        pairs = [(p, sig(p)) for p in paths]
+    else:
+        def run(batches):
+            for b in batches:
+                yield pd.DataFrame(
+                    {"path": b["path"], "sig": [sig(p) for p in b["path"]]}
+                )
+
+        pairs = [
+            (r.path, r.sig)
+            for r in spark.createDataFrame([(p,) for p in paths], "path string")
+            .repartition(max(len(paths) // 256, 2))
+            .mapInPandas(run, schema="path string, sig string")
+            .collect()
+        ]
+    samples: dict[str, str] = {}
+    for p, s in pairs:
+        samples.setdefault(s, p)
+    return list(samples.values())
+
+
 def add_files(
     spark: SparkSession,
     table: Table,
@@ -70,7 +103,11 @@ def add_files(
     if dup:
         raise ValueError(f"files already referenced by the table: {dup[:3]}")
     if validate:
-        _check_schema(paths[0], table.schema)
+        # EVERY file's schema is checked (one driver check per distinct
+        # schema; signature collection is distributed) — a later file with a
+        # wrong type or extra column fails here, not at scan time
+        for sample in _distinct_schema_samples(spark, paths):
+            _check_schema(sample, table.schema)
     entries = collect_file_entries(spark, paths)
     snap = table.commit(
         "add-files",

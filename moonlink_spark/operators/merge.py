@@ -40,6 +40,9 @@ from moonlink_spark.table.format import FileEntry, Snapshot
 from moonlink_spark.table.scan import FILE_COL, POS_COL, prune_entries, scan
 from moonlink_spark.table.writer import (
     FLUSH_TARGET_BYTES,
+    bucket_id,
+    table_buckets,
+    write_bucketed_data_files,
     write_data_files,
     write_delete_files,
 )
@@ -101,21 +104,35 @@ def merge_cdc_batch(
     winners = winners.cache()
 
     # 2. ONE driver-blocking job over the winner set: batch size + key
-    #    bounds + upsert count (materializes the winners cache)
+    #    bounds + upsert count + the batch's key-bucket set (materializes the
+    #    winners cache)
+    buckets = table_buckets(table)
+    bucket_agg = (
+        [F.collect_set(bucket_id(F.col(key), buckets)).alias("bks")]
+        if buckets
+        else []
+    )
     agg = winners.agg(
         F.count("*").alias("n"),
         F.min(key).alias("lo"),
         F.max(key).alias("hi"),
         F.sum((F.col(ORD_COL)["op"] == "U").cast("long")).alias("n_up"),
+        *bucket_agg,
     ).collect()[0]
     n_cdc = agg["n"]
     deduped = staged.join(winners, [key, ORD_COL], "left_semi").drop(ORD_COL)
 
-    # stat-prune candidate data files by the batch's key range
+    # prune candidate data files: first by the batch's key-bucket set (the
+    # GlobalIndex probe — a file whose bucket no CDC key hashes into cannot
+    # match), then by min/max key bounds
+    candidates = table.data_entries() if agg["lo"] is not None else []
+    if buckets and candidates:
+        batch_buckets = set(agg["bks"])
+        candidates = [
+            e for e in candidates if e.bucket is None or e.bucket in batch_buckets
+        ]
     candidates = (
-        prune_entries(table.data_entries(), key, agg["lo"], agg["hi"])
-        if agg["lo"] is not None
-        else []
+        prune_entries(candidates, key, agg["lo"], agg["hi"]) if candidates else []
     )
 
     # 3. probe: column-pruned scan of candidates joined to batch keys; the
@@ -155,9 +172,14 @@ def merge_cdc_batch(
         # compaction's job to merge later, exactly the moonlink flush/compact
         # split (mooncake_table_config.rs:24 vs compaction_config.rs:52)
         rpf = max(256, FLUSH_TARGET_BYTES // _estimate_row_bytes(table, avg_row_bytes))
-        entries = write_data_files(
-            spark, ups, table.new_data_dir(), max_records_per_file=rpf
-        )
+        if buckets:
+            entries = write_bucketed_data_files(
+                spark, ups, table.new_data_dir(), key, buckets, max_records_per_file=rpf
+            )
+        else:
+            entries = write_data_files(
+                spark, ups, table.new_data_dir(), max_records_per_file=rpf
+            )
         return [e for e in entries if e.record_count > 0]
 
     src = [e.path for e in candidates]

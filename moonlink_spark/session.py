@@ -17,7 +17,13 @@ def get_spark(
     app_name: str = "moonlink_spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    profile: str = "image",
 ) -> SparkSession:
+    """``profile="image"`` (default for this engine) tunes the columnar
+    reader/row-group sizes for 10-20 KiB binary-payload rows — a 4096-row
+    default batch of images is an ~85 MiB humongous allocation per task.
+    Pass ``profile="generic"`` for narrow tables to keep Spark's defaults.
+    """
     # executor Python workers must be able to import this package (on a real
     # cluster: spark-submit --py-files; in local mode: PYTHONPATH inheritance)
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -37,22 +43,25 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        # binary-payload tables: a 4096-row columnar batch of ~20 KiB images
-        # is an ~85 MiB humongous allocation per task per batch — G1 churns.
-        # 1024-row batches keep vectors ~20 MiB; 32 MiB row groups give scans
-        # of few-file tables real split parallelism.
-        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
-        .config("spark.hadoop.parquet.block.size", str(32 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
         # modest heap: this sandbox VM materializes guest pages lazily and
         # slowly (~10-100 MB/s first-touch), so heap growth mid-job stalls
         # executors in kernel time; 12g is ample for local-mode jobs here.
         # Benchmarks additionally pass -Xms12g -XX:+AlwaysPreTouch to pay the
         # page-materialization cost once at startup (see bench.py).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
-        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if profile == "image":
+        # binary-payload tables: a 4096-row columnar batch of ~20 KiB images
+        # is an ~85 MiB humongous allocation per task per batch — G1 churns.
+        # 1024-row batches keep vectors ~20 MiB; 32 MiB row groups give scans
+        # of few-file tables real split parallelism. Scoped to this profile
+        # so narrow-table sessions keep Spark's defaults.
+        b = b.config("spark.sql.parquet.columnarReaderBatchSize", "1024").config(
+            "spark.hadoop.parquet.block.size", str(32 * 1024 * 1024)
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

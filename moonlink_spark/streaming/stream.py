@@ -18,8 +18,11 @@ WAL-replay-meets-persisted-LSN dance as moonlink recovery
 
 No watermark is needed: the CDC log is LSN-ordered by construction, the same
 reason moonlink has no event-time semantics (LSN monotonicity asserted at
-src/moonlink/src/storage/mooncake_table.rs:1223-1228). Late "events" cannot
-exist; a stale LSN is a replay and is dropped by idempotence.
+src/moonlink/src/storage/mooncake_table.rs:1223-1228). A batch whose LSN
+range is entirely <= the table's flush LSN is a replay and is dropped by
+idempotence; a batch that STRADDLES the flush LSN violates the ordering
+assumption and fails loudly (see the guard in ``apply_cdc_stream``) instead
+of silently losing or regressing data.
 """
 
 from __future__ import annotations
@@ -72,9 +75,22 @@ def apply_cdc_stream(
     stats = StreamStats()
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        mx = batch_df.agg(F.max("lsn").alias("mx")).collect()[0]["mx"]
+        r = batch_df.agg(F.min("lsn").alias("mn"), F.max("lsn").alias("mx")).collect()[0]
+        mn, mx = r["mn"], r["mx"]
         if mx is None:
             return
+        # The "CDC log is LSN-ordered" assumption is load-bearing — VERIFY it
+        # instead of assuming: a batch that straddles the table's flush LSN
+        # (min <= flushed < max) is an out-of-order/partial-overlap segment
+        # (mod-time ties, producer clock skew). Applying it would either drop
+        # data as a fake replay or let stale events win — fail loudly.
+        flushed = table.refresh().flush_lsn
+        if flushed is not None and int(mn) <= flushed < int(mx):
+            raise ValueError(
+                f"out-of-order CDC segment: batch LSN range [{mn}, {mx}] "
+                f"straddles table flush LSN {flushed}; the source is not "
+                "LSN-ordered — quarantine or re-order the segment"
+            )
         res: MergeResult = merge_cdc_batch(
             spark,
             table,

@@ -2,17 +2,17 @@
 
 Commit protocol mirrors moonlink's file catalog CAS
 (reference: src/moonlink/src/storage/iceberg/file_catalog.rs:694-778 — write
-``v{N}.metadata.json`` then conditional-PUT ``version-hint.text``): here the
-exclusive-create (``open(..., 'x')``) of ``v{N+1}.metadata.json`` is the
-compare-and-swap; ``version-hint.text`` is a convenience pointer rewritten
-after. Writers are serialized per table by the engine driver (moonlink's
-single-writer event loop, reference: src/moonlink/src/table_handler.rs:374-411)
-with the CAS as the backstop.
+``v{N}.metadata.json`` then conditional-PUT ``version-hint.text``): the
+exclusive-create of ``v{N+1}.metadata.json`` is the compare-and-swap —
+O_CREAT|O_EXCL on local fs, conditional PUT on object stores, via the
+storage accessor (table/io.py); ``version-hint.text`` is a convenience
+pointer rewritten after. Writers are serialized per table by the engine
+driver (moonlink's single-writer event loop, reference:
+src/moonlink/src/table_handler.rs:374-411) with the CAS as the backstop.
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import uuid
@@ -29,7 +29,9 @@ from moonlink_spark.table.format import (
     now_ms,
     read_manifest,
     write_manifest,
+    write_snapshot,
 )
+from moonlink_spark.table.io import CasConflict, accessor_for
 
 
 class CommitConflict(Exception):
@@ -137,10 +139,15 @@ class Table:
             for group in manifests_override:
                 if group:
                     manifests.append(write_manifest(self.metadata_dir, seq, group))
+        elif parent is not None and not removed_paths:
+            # append-only commit (MERGE, flush): parent manifests are reused
+            # BY REFERENCE — no manifest is read or rewritten; commit cost is
+            # O(added files), not O(table)
+            manifests = list(parent.manifests)
         elif parent is not None:
             for m in parent.manifests:
                 entries = read_manifest(m)
-                if removed_paths and any(e.path in removed_paths for e in entries):
+                if any(e.path in removed_paths for e in entries):
                     kept = [e for e in entries if e.path not in removed_paths]
                     if kept:
                         manifests.append(write_manifest(self.metadata_dir, seq, kept))
@@ -170,6 +177,7 @@ class Table:
             manifests=manifests,
             summary=summary,
         )
+        write_snapshot(self.metadata_dir, snap)
         props = dict(md.properties)
         if lsn is not None:
             props[LSN_PROP] = str(int(lsn))
@@ -197,28 +205,34 @@ class Table:
         _write_metadata_cas(new_md)
         self.md = new_md
 
-    # ------------------------------------------------------------- fs paths
+    # ---------------------------------------------------------- store paths
     def new_data_dir(self) -> str:
         p = os.path.join(self.location, "data", uuid.uuid4().hex[:16])
-        os.makedirs(p, exist_ok=True)
+        accessor_for(p).mkdirs(p)
         return p
 
     def new_delete_dir(self) -> str:
         p = os.path.join(self.location, "deletes", uuid.uuid4().hex[:16])
-        os.makedirs(p, exist_ok=True)
+        accessor_for(p).mkdirs(p)
         return p
 
 
 # ------------------------------------------------------------------ factory
 
 
+def _abs_location(location: str) -> str:
+    # object-store locations (scheme://...) are already absolute
+    return location if "://" in location else os.path.abspath(location)
+
+
 def create_table(location: str, schema: StructType, properties: dict | None = None) -> Table:
-    os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
-    os.makedirs(os.path.join(location, "data"), exist_ok=True)
-    os.makedirs(os.path.join(location, "deletes"), exist_ok=True)
+    location = _abs_location(location)
+    acc = accessor_for(location)
+    for sub in ("metadata", "data", "deletes"):
+        acc.mkdirs(os.path.join(location, sub))
     md = TableMetadata(
         table_uuid=uuid.uuid4().hex,
-        location=os.path.abspath(location),
+        location=location,
         schema_json=schema.jsonValue(),
         version=0,
         last_sequence_number=0,
@@ -232,7 +246,7 @@ def create_table(location: str, schema: StructType, properties: dict | None = No
 
 
 def load_table(location: str) -> Table:
-    return Table(_read_current_metadata(os.path.abspath(location)))
+    return Table(_read_current_metadata(_abs_location(location)))
 
 
 # ----------------------------------------------------------------- internal
@@ -244,29 +258,33 @@ def _metadata_path(location: str, version: int) -> str:
 
 def _write_metadata_cas(md: TableMetadata) -> None:
     path = _metadata_path(md.location, md.version)
+    acc = accessor_for(path)
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError as e:
+        acc.create_exclusive(path, json.dumps(md.to_dict()))
+    except CasConflict as e:
         raise CommitConflict(f"version {md.version} already committed") from e
-    with os.fdopen(fd, "w") as f:
-        json.dump(md.to_dict(), f)
-    hint_tmp = os.path.join(md.location, "metadata", f".version-hint.{uuid.uuid4().hex[:8]}")
-    with open(hint_tmp, "w") as f:
-        f.write(str(md.version))
-    os.rename(hint_tmp, os.path.join(md.location, "metadata", "version-hint.text"))
+    acc.write_atomic(
+        os.path.join(md.location, "metadata", "version-hint.text"), str(md.version)
+    )
 
 
 def _read_current_metadata(location: str) -> TableMetadata:
-    hint = os.path.join(location, "metadata", "version-hint.text")
+    meta_dir = os.path.join(location, "metadata")
+    acc = accessor_for(location)
+    hint = os.path.join(meta_dir, "version-hint.text")
     version = None
-    if os.path.exists(hint):
-        with open(hint) as f:
-            version = int(f.read().strip())
+    if acc.exists(hint):
+        version = int(acc.read_text(hint).strip())
     # the hint can lag the latest CAS-committed version — scan forward
-    candidates = glob.glob(os.path.join(location, "metadata", "v*.metadata.json"))
+    candidates = [
+        p
+        for p in acc.list(meta_dir, suffix=".metadata.json")
+        if os.path.basename(p).startswith("v")
+    ]
     if not candidates:
         raise FileNotFoundError(f"not a table: {location}")
     latest = max(int(os.path.basename(p)[1:].split(".")[0]) for p in candidates)
     version = latest if version is None or latest > version else version
-    with open(_metadata_path(location, version)) as f:
-        return TableMetadata.from_dict(json.load(f))
+    return TableMetadata.from_dict(
+        json.loads(acc.read_text(_metadata_path(location, version)))
+    )

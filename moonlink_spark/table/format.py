@@ -41,6 +41,8 @@ import time
 import uuid
 from dataclasses import asdict, dataclass, field
 
+from moonlink_spark.table.io import accessor_for
+
 FORMAT_VERSION = 1
 LSN_PROP = "moonlink.table-flush-lsn"
 
@@ -63,12 +65,20 @@ class FileEntry:
     file_size_bytes: int
     sequence_number: int
     stats: dict = field(default_factory=dict)
+    # hash-bucket of the merge key for every row in this file, or None if the
+    # file is not bucket-pure (pre-bucketing files, clustering rewrites).
+    # The Spark-native analog of moonlink's persisted bucketed hash index
+    # (reference: src/moonlink/src/storage/index/persisted_bucket_hash_map.rs:25-93):
+    # MERGE probes read only the buckets its CDC keys hash into.
+    bucket: int | None = None
 
     def to_dict(self) -> dict:
         return asdict(self)
 
     @staticmethod
     def from_dict(d: dict) -> "FileEntry":
+        d = dict(d)
+        d.setdefault("bucket", None)
         return FileEntry(**d)
 
 
@@ -78,14 +88,18 @@ class Snapshot:
     parent_id: int | None
     sequence_number: int
     timestamp_ms: int
-    manifests: list[str]  # absolute manifest paths
+    manifests: list[str]  # absolute manifest paths (the manifest list)
     summary: dict = field(default_factory=dict)
+    # where this snapshot is persisted (snap-<id>-<uuid>.json); set at write
+    file: str | None = None
 
     def to_dict(self) -> dict:
         return asdict(self)
 
     @staticmethod
     def from_dict(d: dict) -> "Snapshot":
+        d = dict(d)
+        d.setdefault("file", None)
         return Snapshot(**d)
 
 
@@ -113,15 +127,31 @@ class TableMetadata:
         return self.snapshot_by_id(self.current_snapshot_id)
 
     def to_dict(self) -> dict:
+        """Metadata is O(delta): snapshots live in their own snap-*.json
+        objects (written once at commit, immutable); the metadata version
+        carries only their paths. A commit therefore writes one snapshot
+        object + one small metadata object, never the full history
+        (manifest-list indirection: each snapshot object holds its manifest
+        paths — moonlink/Iceberg's snapshot → manifest-list → manifests
+        chain, reference: src/moonlink/src/storage/iceberg/puffin_writer_proxy.rs:252-352)."""
         d = asdict(self)
         d["format_version"] = FORMAT_VERSION
+        snaps = d.pop("snapshots")
+        if all(s.get("file") for s in snaps):
+            d["snapshot_files"] = [s["file"] for s in snaps]
+        else:  # snapshots not individually persisted (legacy/tests)
+            d["snapshots"] = snaps
         return d
 
     @staticmethod
     def from_dict(d: dict) -> "TableMetadata":
         d = dict(d)
         d.pop("format_version", None)
-        d["snapshots"] = [Snapshot.from_dict(s) for s in d["snapshots"]]
+        files = d.pop("snapshot_files", None)
+        if files is not None:
+            d["snapshots"] = [read_snapshot(p) for p in files]
+        else:
+            d["snapshots"] = [Snapshot.from_dict(s) for s in d["snapshots"]]
         return TableMetadata(**d)
 
 
@@ -132,17 +162,30 @@ def write_manifest(metadata_dir: str, sequence_number: int, entries: list[FileEn
     path = os.path.join(
         metadata_dir, f"manifest-{sequence_number}-{uuid.uuid4().hex[:12]}.json"
     )
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"entries": [e.to_dict() for e in entries]}, f)
-    os.rename(tmp, path)
+    accessor_for(path).write_atomic(
+        path, json.dumps({"entries": [e.to_dict() for e in entries]})
+    )
     return path
 
 
 def read_manifest(path: str) -> list[FileEntry]:
-    with open(path) as f:
-        d = json.load(f)
+    d = json.loads(accessor_for(path).read_text(path))
     return [FileEntry.from_dict(e) for e in d["entries"]]
+
+
+def write_snapshot(metadata_dir: str, snap: Snapshot) -> str:
+    """Persist one snapshot as its own immutable object; returns its path
+    (recorded in snap.file and referenced from table metadata)."""
+    path = os.path.join(
+        metadata_dir, f"snap-{snap.snapshot_id}-{uuid.uuid4().hex[:12]}.json"
+    )
+    snap.file = path
+    accessor_for(path).write_atomic(path, json.dumps(snap.to_dict()))
+    return path
+
+
+def read_snapshot(path: str) -> Snapshot:
+    return Snapshot.from_dict(json.loads(accessor_for(path).read_text(path)))
 
 
 def snapshot_entries(md: TableMetadata, snapshot: Snapshot) -> list[FileEntry]:

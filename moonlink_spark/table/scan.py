@@ -34,7 +34,12 @@ from moonlink_spark.table.format import FileEntry
 FILE_COL = "__file"
 POS_COL = "__pos"
 
-_BROADCAST_DELETE_ROWS = 20_000_000  # ~300MB of (path,pos) — dict-encoded paths
+# Broadcast hash relations store the path STRING per row (no dict encoding):
+# ~(100B path + 8B pos + hash-table overhead) ≈ 300B/row, so 1M rows ≈ 300MB
+# on the driver and every executor — the ceiling for a safe broadcast.
+# Bigger delete sets shuffle-join (AQE picks the strategy); compaction keeps
+# delete ratios low so this path is rare.
+_BROADCAST_DELETE_ROWS = 1_000_000
 
 
 def _norm_path(col: Column) -> Column:

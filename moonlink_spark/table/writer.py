@@ -12,18 +12,72 @@ and clustering do, from manifest stats).
 
 from __future__ import annotations
 
-import glob
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from moonlink_spark.table.format import DATA, DELETES, FileEntry
+from moonlink_spark.table.io import accessor_for
 from moonlink_spark.table.stats import collect_file_entries
+
+
+def list_parquet(out_dir: str) -> list[str]:
+    """All parquet objects under a commit directory (recursive — covers
+    bucketed __bucket=N/ subdirectories), via the storage accessor."""
+    return accessor_for(out_dir).list(out_dir, suffix=".parquet")
 
 FLUSH_TARGET_BYTES = 128 * 1024 * 1024
 COMPACT_TARGET_BYTES = 512 * 1024 * 1024
 
 DELETE_SCHEMA = "file_path string, pos long"
+
+# table property: number of hash buckets for the key-bucketed data layout
+BUCKETS_PROP = "write.buckets"
+_BUCKET_COL = "__bucket"
+
+
+def bucket_id(key_col: Column | str, buckets: int) -> Column:
+    """Deterministic key bucket — the same function on the write path and
+    the MERGE probe path (moonlink GlobalIndex semantics,
+    reference: src/moonlink/src/storage/index/persisted_bucket_hash_map.rs:276-307)."""
+    return F.pmod(F.xxhash64(key_col), F.lit(buckets)).cast("int")
+
+
+def table_buckets(table) -> int | None:
+    v = table.md.properties.get(BUCKETS_PROP)
+    return int(v) if v else None
+
+
+def write_bucketed_data_files(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    key: str,
+    buckets: int,
+    max_records_per_file: int | None = None,
+) -> list[FileEntry]:
+    """Write ``df`` hash-bucketed by ``key``: one directory per bucket, each
+    file bucket-pure, and the bucket id recorded in its manifest entry so
+    MERGE probes touch only the buckets a CDC batch hashes into.
+
+    The repartition groups rows by bucket id so a bucket's rows are written
+    by one task (bucket count = write parallelism, the knob a 1000-executor
+    cluster raises); ``partitionBy`` keeps files bucket-pure even when AQE
+    coalesces partitions.
+    """
+    w = df.withColumn(_BUCKET_COL, bucket_id(F.col(key), buckets)).repartition(
+        buckets, F.col(_BUCKET_COL)
+    )
+    writer = w.write.mode("append").format("parquet").partitionBy(_BUCKET_COL)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.save(out_dir)
+    paths = [p for p in list_parquet(out_dir) if f"{_BUCKET_COL}=" in p]
+    entries = collect_file_entries(spark, paths, content=DATA)
+    for e in entries:
+        e.bucket = int(os.path.basename(os.path.dirname(e.path)).split("=", 1)[1])
+    return entries
 
 
 def write_data_files(
@@ -53,8 +107,7 @@ def write_data_files(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     writer.save(out_dir)
-    paths = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
-    return collect_file_entries(spark, paths, content=DATA)
+    return collect_file_entries(spark, list_parquet(out_dir), content=DATA)
 
 
 def write_delete_files(spark: SparkSession, deletes_df: DataFrame, out_dir: str) -> list[FileEntry]:
@@ -67,5 +120,4 @@ def write_delete_files(spark: SparkSession, deletes_df: DataFrame, out_dir: str)
         .write.mode("append")
         .parquet(out_dir)
     )
-    paths = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
-    return collect_file_entries(spark, paths, content=DELETES)
+    return collect_file_entries(spark, list_parquet(out_dir), content=DELETES)

@@ -112,6 +112,47 @@ def test_merge_checkpoint_resume(spark, table, tmp_path):
     assert m["inserts"]["skew_ratio"] >= 1.0
 
 
+def test_bucketed_probe_prunes_candidates(spark, tmp_path):
+    """The GlobalIndex replacement: on a hash-bucketed table, a small CDC
+    batch probes ONLY the buckets its keys hash into — pruned_candidates
+    must be far below the total file count even for uniformly-spread keys
+    (min/max pruning alone is a no-op there)."""
+    from moonlink_spark.cdc import materialize_spec
+    from moonlink_spark.datagen import generate_images
+    from moonlink_spark.table.writer import BUCKETS_PROP, write_bucketed_data_files
+
+    B = 64
+    t = create_table(
+        str(tmp_path / "bt"), IMAGES_SCHEMA, properties={BUCKETS_PROP: str(B)}
+    )
+    df = generate_images(spark, 2000, partitions=8)
+    entries = write_bucketed_data_files(
+        spark, df, t.new_data_dir(), "image_id", B, max_records_per_file=40
+    )
+    assert all(e.bucket is not None for e in entries)
+    t.commit("append", added=entries, lsn=1)
+    total = len(t.data_entries())
+    assert total >= B  # at least one file per bucket
+
+    # a 6-key batch of uniformly-spread updates (keys span the table, so
+    # min/max bounds prune nothing)
+    gen = CdcScheduleGenerator(seed=11)
+    gen.next_new = 2000
+    gen.live = {i: 0 for i in range(0, 2000, 7)}
+    gen.next_lsn = 2
+    spec = gen.next_spec(0, 6, 0)
+    ref_keys = {f"img{int(i):012d}" for i in spec["idx"]}
+    res = merge_cdc_batch(
+        spark, t, to_spark(spark, materialize_spec(spec)), gen.commit_lsn
+    )
+    assert res.metrics["pruned_candidates"] <= 6 * (total // B + 1)
+    assert res.metrics["pruned_candidates"] < total // 4
+    assert res.metrics["matched"] == 6
+    # correctness: exactly the updated keys carry the new caption
+    got = scan(spark, t).filter(F.col("caption").contains(" v1")).collect()
+    assert {r["image_id"] for r in got} == ref_keys
+
+
 def test_merge_pixels_survive(spark, table):
     from moonlink_spark.datagen import expected_pixels
     from moonlink_spark.functions.imagecodec import decode, psnr

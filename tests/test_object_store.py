@@ -1,0 +1,111 @@
+"""Metadata layer against the object-store accessor (mem:// mock).
+
+Exercises the full commit protocol — CAS exclusive-create, atomic hint
+update, snapshot-object indirection, manifest reuse-by-reference, expiry
+GC — on a store with object-store semantics (flat keys, conditional PUT, no
+rename, no directories). Mirrors moonlink's storage_config fs/S3/GCS split
+(reference: src/moonlink/src/storage/filesystem/storage_config.rs:15-43).
+"""
+
+import uuid
+
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from moonlink_spark.operators.expire import expire_snapshots
+from moonlink_spark.table.catalog import CommitConflict, create_table, load_table
+from moonlink_spark.table.format import FileEntry
+from moonlink_spark.table.io import CasConflict, InMemoryObjectStore, accessor_for
+
+SCHEMA = StructType(
+    [StructField("k", StringType(), False), StructField("v", LongType(), True)]
+)
+
+
+def _entry(name: str, n: int = 10) -> FileEntry:
+    return FileEntry(
+        content="data",
+        path=f"mem://bkt-{name}/data/{uuid.uuid4().hex}.parquet",
+        record_count=n,
+        file_size_bytes=n * 100,
+        sequence_number=-1,
+        stats={"k": {"min": "a", "max": "z", "nulls": 0}},
+    )
+
+
+@pytest.fixture()
+def loc():
+    return f"mem://bkt-{uuid.uuid4().hex[:8]}/tbl"
+
+
+def test_mem_store_roundtrip_commits(loc):
+    t = create_table(loc, SCHEMA)
+    e1, e2 = _entry("a"), _entry("a")
+    t.commit("append", added=[e1], lsn=1)
+    t.commit("append", added=[e2], lsn=2)
+
+    t2 = load_table(loc)
+    assert len(t2.md.snapshots) == 2
+    got = t2.data_entries()
+    assert {e.path for e in got} == {e1.path, e2.path}
+    assert t2.flush_lsn == 2
+    # snapshot objects are separate immutable files (O(delta) metadata)
+    assert all(s.file and s.file.startswith("mem://") for s in t2.md.snapshots)
+    # stats survive the round trip
+    assert got[0].stats["k"]["min"] == "a"
+
+
+def test_mem_store_cas_conflict(loc):
+    t = create_table(loc, SCHEMA)
+    t.commit("append", added=[_entry("b")], lsn=1)
+    stale = load_table(loc)
+    t.commit("append", added=[_entry("b")], lsn=2)  # winner
+    with pytest.raises(CommitConflict):
+        stale.commit("append", added=[_entry("b")], lsn=2)
+    # refresh resolves the race
+    stale.refresh()
+    stale.commit("append", added=[_entry("b")], lsn=3)
+    assert load_table(loc).flush_lsn == 3
+
+
+def test_mem_store_append_reuses_manifests_by_reference(loc):
+    t = create_table(loc, SCHEMA)
+    t.commit("append", added=[_entry("c")], lsn=1)
+    m1 = list(t.md.current_snapshot().manifests)
+    t.commit("append", added=[_entry("c")], lsn=2)
+    m2 = t.md.current_snapshot().manifests
+    # parent manifest referenced verbatim, one new manifest for the delta
+    assert m1[0] in m2 and len(m2) == 2
+
+
+def test_mem_store_expire_deletes_objects(loc):
+    t = create_table(loc, SCHEMA)
+    dropped = _entry("d")
+    t.commit("append", added=[dropped], lsn=1)
+    kept = _entry("d")
+    t.commit("replace", added=[kept], removed_paths={dropped.path}, lsn=2)
+    t.commit("append", added=[_entry("d")], lsn=3)
+    acc = accessor_for(loc)
+    old_snap_files = [s.file for s in t.md.snapshots[:-2]]
+
+    # the dropped data file must be GC'd; give it a real object to delete
+    accessor_for(dropped.path).write_atomic(dropped.path, "x")
+    res = expire_snapshots(t, retain_last=2)
+    assert res.expired_snapshots == 1
+    assert not accessor_for(dropped.path).exists(dropped.path)
+    for p in old_snap_files:
+        assert not acc.exists(p)
+    # retained snapshots still readable from a fresh handle
+    t3 = load_table(loc)
+    assert len(t3.md.snapshots) == 2
+    assert {e.path for e in t3.data_entries()} >= {kept.path}
+
+
+def test_cas_primitive_semantics():
+    acc = InMemoryObjectStore("race")
+    acc.create_exclusive("mem://race/obj", "first")
+    with pytest.raises(CasConflict):
+        acc.create_exclusive("mem://race/obj", "second")
+    assert acc.read_text("mem://race/obj") == "first"
+    acc.write_atomic("mem://race/obj", "third")  # unconditional overwrite
+    assert acc.read_text("mem://race/obj") == "third"
