@@ -51,7 +51,11 @@ from moonlink_spark.table.format import FileEntry, Snapshot
 from moonlink_spark.table.io import accessor_for
 from moonlink_spark.table.scan import scan
 from moonlink_spark.table.stats import collect_file_entries
-from moonlink_spark.table.writer import COMPACT_TARGET_BYTES, list_parquet
+from moonlink_spark.table.writer import (
+    COMPACT_TARGET_BYTES,
+    list_parquet,
+    table_buckets,
+)
 
 BEST_EFFORT = "best_effort"
 FORCE_REGULAR = "force_regular"
@@ -129,17 +133,26 @@ def select_candidates(
     """Trigger policy per compaction_config.rs:47-54 + mode overrides per
     snapshot_maintenance.rs:57-76."""
     data = table.data_entries()
+    # on a bucketed table, an unbucketed file is un-indexed (always probed by
+    # MERGE) — it is a compaction candidate regardless of size so the
+    # bucketize rewrite picks it up
+    unindexed = (
+        (lambda e: e.bucket is None) if table_buckets(table) else (lambda e: False)
+    )
     if mode == FULL:
         cand = [
             e
             for e in data
-            if e.file_size_bytes < target_bytes or del_counts.get(e.path, 0) > 0
+            if e.file_size_bytes < target_bytes
+            or del_counts.get(e.path, 0) > 0
+            or unindexed(e)
         ]
         return cand if len(cand) >= 2 else []
     cand = [
         e
         for e in data
         if e.file_size_bytes < target_bytes
+        or unindexed(e)
         or (e.record_count and del_counts.get(e.path, 0) / e.record_count >= delete_ratio)
     ]
     cand.sort(key=lambda e: e.file_size_bytes)
@@ -210,7 +223,18 @@ def compact(
         return CompactResult(None, 0, 0, 0, 0, 0, skipped=True)
 
     sel_paths = {e.path for e in selected}
-    bins = plan_bins(selected, del_counts, target_bytes)
+
+    # Deferred bucketization (the index half of moonlink's flush/compact
+    # split): MERGE flushes inserts unbucketed to keep the ingest path
+    # shuffle-free; compaction routes every selected UNBUCKETED file through
+    # one bucketed rewrite (the shuffle happens here, off the hot path), and
+    # the already-bucketed files through the shuffle-free per-bucket concat
+    # bins. After a full compaction the whole table is bucket-pure and MERGE
+    # probes prune by bucket.
+    buckets = table_buckets(table)
+    to_bucketize = [e for e in selected if e.bucket is None] if buckets else []
+    binnable = [e for e in selected if e.bucket is not None] if buckets else selected
+    bins = plan_bins(binnable, del_counts, target_bytes)
 
     base_snapshot = table.md.current_snapshot_id
     ckpt = (
@@ -250,8 +274,41 @@ def compact(
             ).entries
         return rewrite_bin(i)
 
-    with ThreadPoolExecutor(max_workers=min(_MAX_CONCURRENT_BINS, len(bins))) as ex:
+    def bucketize() -> list[FileEntry]:
+        if not to_bucketize:
+            return []
+        from moonlink_spark.table.writer import (
+            table_bucket_key,
+            write_bucketed_data_files,
+        )
+
+        out_dir = os.path.join(out_root, "bucketize")
+        live = scan(spark, table, data_entries=to_bucketize)
+        rows = sum(e.record_count for e in to_bucketize)
+        row_bytes = max(
+            64, sum(e.file_size_bytes for e in to_bucketize) // max(rows, 1)
+        )
+        entries = write_bucketed_data_files(
+            spark,
+            live,
+            out_dir,
+            key=table_bucket_key(table),
+            buckets=buckets,
+            max_records_per_file=max(256, target_bytes // row_bytes),
+        )
+        return [e for e in entries if e.record_count > 0]
+
+    def run_bucketize() -> list[FileEntry]:
+        if ckpt:
+            return ckpt.run(
+                "bucketize", bucketize, sources=sorted(e.path for e in to_bucketize)
+            ).entries
+        return bucketize()
+
+    with ThreadPoolExecutor(max_workers=min(_MAX_CONCURRENT_BINS, len(bins) + 1)) as ex:
+        fut = ex.submit(run_bucketize)
         new_entries = [e for res in ex.map(run_bin, range(len(bins))) for e in res]
+        new_entries += fut.result()
 
     # delete files now fully dangling → drop in the same commit
     removable_deletes = removable_delete_files(spark, table, sel_paths)

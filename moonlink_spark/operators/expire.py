@@ -7,7 +7,10 @@ removes snapshots from metadata and deletes files referenced by no retained
 snapshot — it never rewrites live data.
 
 Retention: keep the most recent ``retain_last`` snapshots (current snapshot
-always kept). Orphan sweep covers data files, delete files, and manifests.
+always kept); ``older_than_ms`` additionally protects any snapshot younger
+than the cutoff (Iceberg's expire_snapshots(older_than) semantics — both
+conditions must hold for a snapshot to expire). Orphan sweep covers data
+files, delete files, manifests, and snapshot objects.
 """
 
 from __future__ import annotations
@@ -27,14 +30,26 @@ class ExpireResult:
     skipped: bool = False
 
 
-def expire_snapshots(table: Table, retain_last: int = 2) -> ExpireResult:
+def expire_snapshots(
+    table: Table, retain_last: int = 2, older_than_ms: int | None = None
+) -> ExpireResult:
     table.refresh()
     md = table.md
     if len(md.snapshots) <= retain_last:
         return ExpireResult(0, 0, 0, skipped=True)
 
-    retained = sorted(md.snapshots, key=lambda s: s.sequence_number)[-retain_last:]
+    ordered = sorted(md.snapshots, key=lambda s: s.sequence_number)
+    retained = list(ordered[-retain_last:])
+    if older_than_ms is not None:
+        # age guard: snapshots younger than the cutoff are never expired,
+        # even beyond retain_last
+        retained += [
+            s for s in ordered[:-retain_last] if s.timestamp_ms >= older_than_ms
+        ]
     retained_ids = {s.snapshot_id for s in retained}
+    if len(retained_ids) == len(md.snapshots):
+        return ExpireResult(0, 0, 0, skipped=True)
+    retained = sorted(retained, key=lambda s: s.sequence_number)
     if md.current_snapshot_id not in retained_ids:
         raise AssertionError("current snapshot must be retained")
     expired = [s for s in md.snapshots if s.snapshot_id not in retained_ids]

@@ -42,7 +42,6 @@ from moonlink_spark.table.writer import (
     FLUSH_TARGET_BYTES,
     bucket_id,
     table_buckets,
-    write_bucketed_data_files,
     write_data_files,
     write_delete_files,
 )
@@ -171,15 +170,16 @@ def merge_cdc_batch(
         # big-image batches onto 1-2 writers); undersized files are
         # compaction's job to merge later, exactly the moonlink flush/compact
         # split (mooncake_table_config.rs:24 vs compaction_config.rs:52)
+        # inserts are NOT bucketed at flush time: that would shuffle the
+        # payload on the ingest hot path. Compaction bucketizes later
+        # (moonlink's flush-fast / index-on-maintenance split,
+        # mooncake_table_config.rs:24 vs compaction_config.rs:52); until
+        # then these recent files are always probe candidates, which is
+        # cheap because they are few and the probe is column-pruned.
         rpf = max(256, FLUSH_TARGET_BYTES // _estimate_row_bytes(table, avg_row_bytes))
-        if buckets:
-            entries = write_bucketed_data_files(
-                spark, ups, table.new_data_dir(), key, buckets, max_records_per_file=rpf
-            )
-        else:
-            entries = write_data_files(
-                spark, ups, table.new_data_dir(), max_records_per_file=rpf
-            )
+        entries = write_data_files(
+            spark, ups, table.new_data_dir(), max_records_per_file=rpf
+        )
         return [e for e in entries if e.record_count > 0]
 
     src = [e.path for e in candidates]

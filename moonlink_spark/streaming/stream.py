@@ -27,6 +27,8 @@ of silently losing or regressing data.
 
 from __future__ import annotations
 
+import os
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +37,7 @@ from pyspark.sql import functions as F
 from moonlink_spark.operators.merge import MergeResult, merge_cdc_batch
 from moonlink_spark.schema import CDC_SCHEMA, MERGE_KEY
 from moonlink_spark.table.catalog import Table
+from moonlink_spark.table.io import accessor_for
 
 
 @dataclass
@@ -43,6 +46,63 @@ class StreamStats:
     merged: int = 0
     skipped: int = 0
     results: list = field(default_factory=list)
+
+
+class StreamingTransaction:
+    """Explicit streaming transaction: stage CDC rows across multiple
+    appends, then commit atomically at one LSN — or abort, discarding all
+    staged rows (moonlink O6, reference:
+    src/moonlink/src/storage/mooncake_table/transaction_stream.rs:137-143 —
+    TransactionStreamOutput::Commit/Abort).
+
+    Staged rows live in a transaction-private directory outside any
+    snapshot; nothing is visible to readers until ``commit`` lands the
+    single MERGE snapshot. ``abort`` deletes the staging area — because no
+    metadata ever referenced it, abort needs no table commit at all (the
+    same reason moonlink's abort just drops the stream state).
+    """
+
+    def __init__(self, spark: SparkSession, table: Table, key: str = MERGE_KEY):
+        self.spark = spark
+        self.table = table
+        self.key = key
+        self.xact_id = uuid.uuid4().hex[:16]
+        self._stage_dir = os.path.join(table.location, "stage", self.xact_id)
+        self._acc = accessor_for(self._stage_dir)
+        self._acc.mkdirs(self._stage_dir)
+        self._open = True
+        self.appended = 0
+
+    def append(self, cdc_df: DataFrame) -> None:
+        """Stage a chunk of CDC rows (schema: op, lsn, <table columns>)."""
+        if not self._open:
+            raise RuntimeError("transaction already committed or aborted")
+        cdc_df.write.mode("append").parquet(self._stage_dir)
+        self.appended += 1
+
+    def commit(self, lsn: int, **merge_kwargs) -> MergeResult:
+        """Apply everything staged as ONE MERGE snapshot at ``lsn``."""
+        if not self._open:
+            raise RuntimeError("transaction already committed or aborted")
+        self._open = False
+        staged = self.spark.read.schema(CDC_SCHEMA).parquet(self._stage_dir)
+        res = merge_cdc_batch(
+            self.spark, self.table, staged, lsn, key=self.key, **merge_kwargs
+        )
+        self._cleanup()
+        return res
+
+    def abort(self) -> None:
+        """Discard all staged rows; the table is untouched (no snapshot was
+        ever created, so readers never saw anything)."""
+        if not self._open:
+            raise RuntimeError("transaction already committed or aborted")
+        self._open = False
+        self._cleanup()
+
+    def _cleanup(self) -> None:
+        for p in self._acc.list(self._stage_dir):
+            self._acc.delete(p)
 
 
 def cdc_file_stream(

@@ -32,8 +32,9 @@ COMPACT_TARGET_BYTES = 512 * 1024 * 1024
 
 DELETE_SCHEMA = "file_path string, pos long"
 
-# table property: number of hash buckets for the key-bucketed data layout
+# table properties: hash-bucketed data layout (bucket count + key column)
 BUCKETS_PROP = "write.buckets"
+BUCKET_KEY_PROP = "write.bucket-key"
 _BUCKET_COL = "__bucket"
 
 
@@ -47,6 +48,12 @@ def bucket_id(key_col: Column | str, buckets: int) -> Column:
 def table_buckets(table) -> int | None:
     v = table.md.properties.get(BUCKETS_PROP)
     return int(v) if v else None
+
+
+def table_bucket_key(table) -> str:
+    from moonlink_spark.schema import MERGE_KEY
+
+    return table.md.properties.get(BUCKET_KEY_PROP, MERGE_KEY)
 
 
 def write_bucketed_data_files(

@@ -167,3 +167,18 @@ def test_merge_after_maintenance(spark, loaded):
     merge_cdc_batch(spark, t, to_spark(spark, b), gen2.commit_lsn)
     got = scan(spark, t).count()
     assert got == len(ref.rows)
+
+
+def test_expire_age_guard_protects_young_snapshots(spark, loaded):
+    """older_than_ms: snapshots younger than the cutoff survive even beyond
+    retain_last; with a past cutoff, count-based retention applies alone."""
+    t, _ = loaded
+    n = len(t.md.snapshots)
+    assert n >= 3
+    # cutoff in the past => every snapshot is younger => all protected => skip
+    res = expire_snapshots(t, retain_last=1, older_than_ms=0)
+    assert res.skipped and len(t.md.snapshots) == n
+    # cutoff in the far future => nothing protected by age; count rules
+    res2 = expire_snapshots(t, retain_last=2, older_than_ms=2**62)
+    assert res2.expired_snapshots == n - 2
+    assert len(t.md.snapshots) == 2

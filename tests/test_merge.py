@@ -153,6 +153,29 @@ def test_bucketed_probe_prunes_candidates(spark, tmp_path):
     assert {r["image_id"] for r in got} == ref_keys
 
 
+def test_compaction_bucketizes_flushed_files(spark, tmp_path):
+    """Flush/index split: MERGE inserts land unbucketed (no shuffle on the
+    ingest path); a full compaction routes them through the bucketed rewrite
+    so the whole table becomes bucket-pure and probes prune again."""
+    from moonlink_spark.operators.maintenance import optimize_table
+    from moonlink_spark.table.writer import BUCKETS_PROP
+
+    t = create_table(
+        str(tmp_path / "fb"), IMAGES_SCHEMA, properties={BUCKETS_PROP: "8"}
+    )
+    gen = CdcScheduleGenerator(seed=12)
+    ref = ReferenceTable()
+    for sizes in [(300, 0, 0), (100, 80, 40)]:
+        b = gen.next_batch(*sizes)
+        ref.apply(b)
+        merge_cdc_batch(spark, t, to_spark(spark, b), gen.commit_lsn)
+    assert all(e.bucket is None for e in t.data_entries())  # flushed fast
+
+    optimize_table(spark, t, mode="full", retain_last=2, target_bytes=1 << 20)
+    assert all(e.bucket is not None for e in t.data_entries())  # indexed
+    _check_vs_oracle(spark, t, ref)
+
+
 def test_merge_pixels_survive(spark, table):
     from moonlink_spark.datagen import expected_pixels
     from moonlink_spark.functions.imagecodec import decode, psnr

@@ -76,3 +76,49 @@ def test_stream_restart_is_exactly_once(spark, table, tmp_path):
     assert stats3.merged == 0 and stats3.skipped >= 1
     table.refresh()
     assert scan(spark, table).count() == n1
+
+
+def test_streaming_transaction_commit_and_abort(spark, table):
+    """O6: explicit streaming transaction — staged appends are invisible
+    until commit; abort discards everything (transaction_stream.rs:137-143)."""
+    from moonlink_spark.streaming.stream import StreamingTransaction
+
+    gen = CdcScheduleGenerator(seed=21)
+    ref = ReferenceTable()
+
+    # committed transaction: two staged appends -> one snapshot
+    tx = StreamingTransaction(spark, table)
+    b1 = gen.next_batch(30, 0, 0)
+    b2 = gen.next_batch(20, 5, 3)
+    tx.append(to_spark(spark, b1))
+    assert scan(spark, table).count() == 0  # staged rows invisible
+    tx.append(to_spark(spark, b2))
+    ref.apply(b1)
+    ref.apply(b2)
+    res = tx.commit(gen.commit_lsn)
+    assert not res.skipped
+    assert scan(spark, table).count() == len(ref.to_pandas())
+    n_snapshots = len(table.md.snapshots)
+
+    # aborted transaction: staged rows vanish, table untouched, no snapshot
+    tx2 = StreamingTransaction(spark, table)
+    tx2.append(to_spark(spark, gen.next_batch(10, 0, 0)))
+    tx2.abort()
+    table.refresh()
+    assert len(table.md.snapshots) == n_snapshots
+    assert scan(spark, table).count() == len(ref.to_pandas())
+    with pytest.raises(RuntimeError):
+        tx2.commit(gen.commit_lsn)
+
+
+def test_streaming_transaction_abort_cleans_staging(spark, table):
+    from moonlink_spark.streaming.stream import StreamingTransaction
+    from moonlink_spark.table.io import accessor_for
+
+    gen = CdcScheduleGenerator(seed=22)
+    tx = StreamingTransaction(spark, table)
+    tx.append(to_spark(spark, gen.next_batch(5, 0, 0)))
+    stage = tx._stage_dir
+    assert accessor_for(stage).list(stage, suffix=".parquet")
+    tx.abort()
+    assert not accessor_for(stage).list(stage, suffix=".parquet")
