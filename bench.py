@@ -230,11 +230,12 @@ def run_once(cpus: int, engine_only: bool = False) -> dict:
     # executor threads ~99% *system* time, GC logs clean, PSI clean, raw-CPU
     # probes stable). Pre-touching the whole heap at startup (untimed) pays
     # that cost once and makes timed regions reproducible.
+    heap = os.environ.get("SPARK_DRIVER_MEM", "12g")
     spark = get_spark(
         cores=cpus,
         app_name=f"bench-{cpus}",
         extra_conf={
-            "spark.driver.extraJavaOptions": "-Xms12g -XX:+AlwaysPreTouch"
+            "spark.driver.extraJavaOptions": f"-Xms{heap} -XX:+AlwaysPreTouch"
         },
     )
     workdir = tempfile.mkdtemp(prefix="moonlink_bench_")
