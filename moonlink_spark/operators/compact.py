@@ -54,6 +54,7 @@ from moonlink_spark.table.stats import collect_file_entries
 from moonlink_spark.table.writer import (
     COMPACT_TARGET_BYTES,
     list_parquet,
+    table_bucket_key,
     table_buckets,
 )
 
@@ -77,11 +78,14 @@ class CompactResult:
 
 
 def _delete_counts(spark: SparkSession, table: Table) -> dict[str, int]:
-    """Per-data-file deleted-row counts from the snapshot's delete files."""
-    dels = table.delete_entries()
-    if not dels:
+    """Per-data-file deleted-row counts from the snapshot's delete files
+    (DV bitmaps expanded executor-side; countDistinct folds overlapping
+    positions across delete files)."""
+    from moonlink_spark.table.dv import read_delete_positions
+
+    df = read_delete_positions(spark, table.delete_entries())
+    if df is None:
         return {}
-    df = spark.read.schema("file_path string, pos long").parquet(*[e.path for e in dels])
     rows = df.groupBy("file_path").agg(F.countDistinct("pos").alias("n")).collect()
     return {r["file_path"]: r["n"] for r in rows}
 
@@ -100,7 +104,9 @@ def removable_delete_files(
     dels = table.delete_entries()
     if not dels:
         return set()
-    ddf = spark.read.schema("file_path string, pos long").parquet(*[e.path for e in dels])
+    # only file_path is needed (one row per referenced data file in DV v2;
+    # one per position in v1) — schema-projected read covers both formats
+    ddf = spark.read.schema("file_path string").parquet(*[e.path for e in dels])
     removed = F.broadcast(
         spark.createDataFrame([(p,) for p in removed_data_paths], "rp string")
     )
@@ -147,7 +153,12 @@ def select_candidates(
             or del_counts.get(e.path, 0) > 0
             or unindexed(e)
         ]
-        return cand if len(cand) >= 2 else []
+        # a lone unbucketed file is still worth rewriting: bucketizing it
+        # removes a permanent MERGE probe candidate (it would otherwise be
+        # probed by every batch forever); plain 1-file concat stays pointless
+        if len(cand) == 1 and not unindexed(cand[0]):
+            return []
+        return cand if len(cand) >= 1 else []
     cand = [
         e
         for e in data
@@ -244,7 +255,7 @@ def compact(
     )
     # deterministic per base snapshot: a crashed run's resume lands in the
     # same directory and per-bin overwrite makes partial outputs idempotent
-    out_root = os.path.join(table.location, "data", f"compact-{base_snapshot}")
+    out_root = os.path.join(table.data_root, "data", f"compact-{base_snapshot}")
     accessor_for(out_root).mkdirs(out_root)
 
     def rewrite_bin(i: int) -> list[FileEntry]:
@@ -260,9 +271,16 @@ def compact(
         ]
         # bins never mix buckets (plan_bins) — outputs inherit the bin's bucket
         bin_buckets = {e.bucket for e in bin_entries}
-        if len(bin_buckets) == 1:
+        if len(bin_buckets) == 1 and None not in bin_buckets:
+            b = next(iter(bin_buckets))
             for e in out:
-                e.bucket = next(iter(bin_buckets))
+                e.bucket = b
+            # rebuild the per-file key bloom for the rewritten (index-merged)
+            # output — moonlink rebuilds its file index on compaction too
+            # (compactor.rs:331-365)
+            from moonlink_spark.table.bloom import attach_key_blooms
+
+            attach_key_blooms(spark, out, table_bucket_key(table))
         return out
 
     def run_bin(i: int) -> list[FileEntry]:
@@ -288,6 +306,10 @@ def compact(
         row_bytes = max(
             64, sum(e.file_size_bytes for e in to_bucketize) // max(rows, 1)
         )
+        # mode=overwrite clears out_dir before writing: a bucketize retry
+        # after a crash (failed write or lost checkpoint step) replaces any
+        # partial/duplicate output instead of appending a second full copy —
+        # the same per-directory idempotence rewrite_bin gets from overwrite
         entries = write_bucketed_data_files(
             spark,
             live,
@@ -295,6 +317,7 @@ def compact(
             key=table_bucket_key(table),
             buckets=buckets,
             max_records_per_file=max(256, target_bytes // row_bytes),
+            mode="overwrite",
         )
         return [e for e in entries if e.record_count > 0]
 

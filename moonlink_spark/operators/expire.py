@@ -83,6 +83,7 @@ def expire_snapshots(
         current_snapshot_id=md.current_snapshot_id,
         snapshots=retained,
         properties=md.properties,
+        data_location=md.data_location,
     )
     table.replace_metadata(new_md)
 

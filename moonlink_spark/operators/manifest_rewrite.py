@@ -53,17 +53,20 @@ def rewrite_manifests(
 
     new_delete_entries = delete_entries
     if sweep_deletes and delete_entries:
+        from moonlink_spark.table.dv import read_delete_positions
+
         live_paths = {e.path for e in data_entries}
-        ddf = spark.read.schema("file_path string, pos long").parquet(
-            *[e.path for e in delete_entries]
-        )
+        ddf = read_delete_positions(spark, delete_entries)
         live_df = spark.createDataFrame([(p,) for p in live_paths], "file_path string")
-        swept = ddf.join(F.broadcast(live_df), "file_path", "left_semi").dropDuplicates(
-            ["file_path", "pos"]
-        )
+        # no dropDuplicates needed: the DV repack (write_delete_files →
+        # pack_positions) groups ALL positions per data file and np.uniques
+        swept = ddf.join(F.broadcast(live_df), "file_path", "left_semi")
         max_seq = max(e.sequence_number for e in delete_entries)
         new_delete_entries = write_delete_files(
-            spark, swept.coalesce(max(1, len(delete_entries) // 16)), table.new_delete_dir()
+            spark,
+            swept,
+            table.new_delete_dir(),
+            num_files=max(1, len(delete_entries) // 16),
         )
         # swept delete rows must keep applying to the same (older) data files
         for e in new_delete_entries:

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from moonlink_spark.checkpoint import JobCheckpoint
 from moonlink_spark.functions.salting import ORD_COL, winning_ords
+from moonlink_spark.table.bloom import BLOOM_STAT, prune_by_bloom
 from moonlink_spark.schema import MERGE_KEY
 from moonlink_spark.table.catalog import Table
 from moonlink_spark.table.format import FileEntry, Snapshot
@@ -46,7 +47,17 @@ from moonlink_spark.table.writer import (
     write_delete_files,
 )
 
-_BROADCAST_CDC_ROWS = 5_000_000  # key-only probe side
+# Broadcast ceiling for the key-only probe side — same sizing logic as the
+# scan-side delete broadcast (table/scan.py): a broadcast hash relation holds
+# the key string per row (~100B key + overhead ≈ 300B/row), so 1M rows ≈
+# 300MB on the driver and every executor. Bigger batches shuffle-join (AQE).
+_BROADCAST_CDC_ROWS = 1_000_000
+
+# Bloom-probe ceiling: probing collects the batch's distinct key hashes to
+# the driver (8B each ⇒ 16MB at the cap) and tests them against candidate
+# blooms in numpy. Broader batches skip the bloom stage — at that breadth a
+# uniform batch almost certainly touches every file anyway.
+_BLOOM_PROBE_MAX_KEYS = 2_000_000
 
 
 def _estimate_row_bytes(table: Table, override: int | None) -> int:
@@ -116,15 +127,29 @@ def merge_cdc_batch(
         F.min(key).alias("lo"),
         F.max(key).alias("hi"),
         F.sum((F.col(ORD_COL)["op"] == "U").cast("long")).alias("n_up"),
+        F.sum(F.col(key).isNull().cast("long")).alias("n_null_key"),
         *bucket_agg,
     ).collect()[0]
     n_cdc = agg["n"]
+    # A NULL merge key has no identity to upsert/delete against (moonlink
+    # validates identity at table creation, mooncake_table.rs:126-136). The
+    # inline semi join below would silently drop such rows — fail loudly
+    # instead so the producer fixes the batch.
+    if agg["n_null_key"]:
+        raise ValueError(
+            f"CDC batch has {agg['n_null_key']} rows with NULL merge key "
+            f"'{key}'; MERGE requires a non-null identity key"
+        )
     deduped = staged.join(winners, [key, ORD_COL], "left_semi").drop(ORD_COL)
 
-    # prune candidate data files: first by the batch's key-bucket set (the
-    # GlobalIndex probe — a file whose bucket no CDC key hashes into cannot
-    # match), then by min/max key bounds
-    candidates = table.data_entries() if agg["lo"] is not None else []
+    # prune candidate data files — the GlobalIndex probe, three stages
+    # (reference: src/moonlink/src/storage/index/persisted_bucket_hash_map.rs:276-307):
+    #   1. bucket set: a file whose bucket no CDC key hashes into cannot match
+    #   2. min/max key bounds from manifest stats
+    #   3. per-file key blooms: a file containing NONE of the batch's keys is
+    #      dropped even when the batch is broader than the bucket count
+    all_data = table.data_entries()
+    candidates = all_data if agg["lo"] is not None else []
     if buckets and candidates:
         batch_buckets = set(agg["bks"])
         candidates = [
@@ -133,6 +158,14 @@ def merge_cdc_batch(
     candidates = (
         prune_entries(candidates, key, agg["lo"], agg["hi"]) if candidates else []
     )
+    pre_bloom = len(candidates)
+    if candidates and n_cdc <= _BLOOM_PROBE_MAX_KEYS and any(
+        BLOOM_STAT in e.stats for e in candidates
+    ):
+        key_hashes = (
+            winners.select(F.xxhash64(F.col(key)).alias("h")).toPandas()["h"].to_numpy()
+        )
+        candidates = prune_by_bloom(candidates, key_hashes)
 
     # 3. probe: column-pruned scan of candidates joined to batch keys; the
     #    matched (file,pos) set goes straight to delete files — the row count
@@ -150,12 +183,12 @@ def merge_cdc_batch(
         matched = probe.join(cdc_keys, key, "inner").select(
             F.col(FILE_COL).alias("file_path"), F.col(POS_COL).alias("pos")
         )
-        # delete rows are tiny: shuffle down to few output files (repartition,
-        # NOT coalesce — coalesce(1) would collapse the probe scan itself to
-        # one task; the (path,pos) shuffle costs nothing)
+        # delete rows are tiny: the DV pack (groupBy file_path inside
+        # write_delete_files) is the only shuffle, and the packed rows
+        # (one per data file) land in few output files
         n_files = max(1, n_cdc // 10_000_000)
         entries = write_delete_files(
-            spark, matched.repartition(n_files, "file_path"), table.new_delete_dir()
+            spark, matched, table.new_delete_dir(), num_files=n_files
         )
         return [e for e in entries if e.record_count > 0]
 
@@ -203,7 +236,8 @@ def merge_cdc_batch(
         "delete_files": len(del_entries),
         "data_files": len(ins_entries),
         "pruned_candidates": len(candidates),
-        "total_data_files": len(table.data_entries()),
+        "bloom_pruned_from": pre_bloom,
+        "total_data_files": len(all_data),
         "probe_delete_sec": round(t1 - t0, 3),
         "insert_write_sec": round(t2 - t1, 3),
     }

@@ -67,7 +67,7 @@ class StreamingTransaction:
         self.table = table
         self.key = key
         self.xact_id = uuid.uuid4().hex[:16]
-        self._stage_dir = os.path.join(table.location, "stage", self.xact_id)
+        self._stage_dir = os.path.join(table.data_root, "stage", self.xact_id)
         self._acc = accessor_for(self._stage_dir)
         self._acc.mkdirs(self._stage_dir)
         self._open = True
@@ -81,14 +81,19 @@ class StreamingTransaction:
         self.appended += 1
 
     def commit(self, lsn: int, **merge_kwargs) -> MergeResult:
-        """Apply everything staged as ONE MERGE snapshot at ``lsn``."""
+        """Apply everything staged as ONE MERGE snapshot at ``lsn``.
+
+        The transaction closes only on a SUCCESSFUL merge: a failed commit
+        (snapshot CAS conflict, LSN monotonicity violation) leaves it open,
+        so the caller can retry ``commit`` at a corrected LSN or ``abort``
+        — either way the staged files are never leaked."""
         if not self._open:
             raise RuntimeError("transaction already committed or aborted")
-        self._open = False
         staged = self.spark.read.schema(CDC_SCHEMA).parquet(self._stage_dir)
         res = merge_cdc_batch(
             self.spark, self.table, staged, lsn, key=self.key, **merge_kwargs
         )
+        self._open = False
         self._cleanup()
         return res
 
@@ -103,6 +108,7 @@ class StreamingTransaction:
     def _cleanup(self) -> None:
         for p in self._acc.list(self._stage_dir):
             self._acc.delete(p)
+        self._acc.delete_prefix(self._stage_dir)
 
 
 def cdc_file_stream(

@@ -1,0 +1,128 @@
+"""Per-file key bloom filters — the per-KEY half of the GlobalIndex analog.
+
+The bucketed layout prunes MERGE probe candidates by the batch's key-bucket
+set, which is a no-op for batches touching >= B distinct buckets. Moonlink's
+persisted index has no such breadth limit: it probes per key
+(reference: src/moonlink/src/storage/index/persisted_bucket_hash_map.rs:276-307,
+``prepare_hashes_for_lookup`` / ``search_values`` — sorted-hash probes of
+mmap'd buckets). The Spark-native equivalent: every indexed data file's
+manifest entry carries a small bloom filter over ``xxhash64(key)`` of its
+rows, and MERGE intersects the batch's key-hash set with each candidate's
+bloom — a file containing NONE of the batch's keys is pruned even when the
+batch touches every bucket.
+
+Sizing: bits_per_key=20, k=7 ⇒ per-key false-positive rate ≈ 2.3e-4
+(0.6185^20). A file is kept if ANY of the batch's K absent keys false-hits,
+so P(prune an unrelated file) ≈ (1-fpr)^K — narrow batches (the
+post-maintenance point-update case) prune nearly everything; broad batches
+degrade gracefully to the bucket/min-max prune. 20 bits/key is ~2.5 bytes of
+manifest metadata per row, ~0.02% of a 15 KiB image row.
+
+Hashing: blooms are BUILT from Spark's JVM-side ``xxhash64`` (seed 42) and
+PROBED with hashes collected from the same expression — build and probe
+share one hash implementation with zero Python reimplementation, the same
+discipline as ``writer.bucket_id``. Bit placement uses Kirsch-Mitzenmacher
+double hashing: pos_i = (h>>32) + i*(h|1) mod m.
+
+At 10^12-image scale the bloom build is a column-pruned scan of just-written
+files (page-cache warm, key column only) and the probe is driver-side numpy
+over the already-pruned candidate list's metadata — no extra Spark job.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.table.format import FileEntry
+
+BLOOM_STAT = "__key_bloom"
+BITS_PER_KEY = 20
+NUM_HASHES = 7
+
+_PACK_SCHEMA = "f string, m long, k int, b64 string"
+
+
+def _positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(k, n) bit positions for each 64-bit key hash (double hashing)."""
+    h = hashes.astype(np.uint64, copy=False)
+    h1 = (h >> np.uint64(32)).astype(np.uint64)
+    h2 = (h | np.uint64(1)) & np.uint64(0xFFFFFFFF)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m)).astype(np.int64)
+
+
+def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    n = len(pdf)
+    m = max(64, ((n * BITS_PER_KEY + 63) // 64) * 64)
+    pos = _positions(pdf["h"].to_numpy().view(np.uint64), m, NUM_HASHES)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    byte_idx = pos >> 3
+    bit_mask = np.left_shift(1, (pos & 7)).astype(np.uint8)
+    np.bitwise_or.at(bits, byte_idx.ravel(), bit_mask.ravel())
+    return pd.DataFrame(
+        {
+            "f": [pdf["f"].iloc[0]],
+            "m": [m],
+            "k": [NUM_HASHES],
+            "b64": [base64.b64encode(bits.tobytes()).decode()],
+        }
+    )
+
+
+def attach_key_blooms(
+    spark: SparkSession, entries: list[FileEntry], key: str
+) -> list[FileEntry]:
+    """Build one bloom per data file (over xxhash64 of its key values) and
+    record it in the entry's stats. One column-pruned Spark job over the
+    given files; mutates and returns ``entries``."""
+    if not entries:
+        return entries
+    hashes = (
+        spark.read.parquet(*[e.path for e in entries])
+        .select(
+            F.xxhash64(F.col(key)).alias("h"),
+            F.regexp_replace(F.col("_metadata.file_path"), r"^file:/+", "/").alias("f"),
+        )
+    )
+    rows = hashes.groupBy("f").applyInPandas(_pack, schema=_PACK_SCHEMA).collect()
+    blooms = {r["f"]: {"m": r["m"], "k": r["k"], "b64": r["b64"]} for r in rows}
+    for e in entries:
+        kb = blooms.get(e.path)
+        if kb is not None:
+            e.stats[BLOOM_STAT] = kb
+    return entries
+
+
+def bloom_may_contain_any(entry: FileEntry, key_hashes: np.ndarray) -> bool:
+    """True if the file's bloom admits ANY of ``key_hashes`` (or the file has
+    no bloom — blooms are an optimization, never a filter)."""
+    kb = entry.stats.get(BLOOM_STAT)
+    if not kb:
+        return True
+    bits = np.frombuffer(base64.b64decode(kb["b64"]), dtype=np.uint8)
+    m, k = int(kb["m"]), int(kb["k"])
+    # chunked with early exit: a file that DOES contain batch keys (the
+    # common case for hot files) resolves on the first chunk
+    for lo in range(0, len(key_hashes), 4096):
+        chunk = key_hashes[lo : lo + 4096]
+        pos = _positions(chunk, m, k)
+        hit = (bits[pos >> 3] & np.left_shift(1, (pos & 7)).astype(np.uint8)) != 0
+        if bool(hit.all(axis=0).any()):
+            return True
+    return False
+
+
+def prune_by_bloom(
+    entries: list[FileEntry], key_hashes: np.ndarray
+) -> list[FileEntry]:
+    """Keep only files whose bloom admits at least one batch key (files
+    without blooms — fresh unbucketized flushes — are always kept)."""
+    if len(key_hashes) == 0:
+        return []
+    h = np.asarray(key_hashes, dtype=np.int64).view(np.uint64)
+    return [e for e in entries if bloom_may_contain_any(e, h)]

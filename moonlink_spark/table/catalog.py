@@ -52,6 +52,15 @@ class Table:
         return os.path.join(self.md.location, "metadata")
 
     @property
+    def data_root(self) -> str:
+        """Root for row data (parquet). Defaults to the table location;
+        split from it when metadata lives on an object store whose URIs
+        Spark cannot read directly (the mem:// test store; moonlink keeps
+        the same split between its catalog filesystem and data filesystem,
+        reference: src/moonlink/src/storage/filesystem/storage_config.rs:15-43)."""
+        return self.md.data_location or self.md.location
+
+    @property
     def schema(self) -> StructType:
         return StructType.fromJson(self.md.schema_json)
 
@@ -193,6 +202,7 @@ class Table:
             current_snapshot_id=snap_id,
             snapshots=md.snapshots + [snap],
             properties=props,
+            data_location=md.data_location,
         )
         _write_metadata_cas(new_md)
         self.md = new_md
@@ -207,12 +217,12 @@ class Table:
 
     # ---------------------------------------------------------- store paths
     def new_data_dir(self) -> str:
-        p = os.path.join(self.location, "data", uuid.uuid4().hex[:16])
+        p = os.path.join(self.data_root, "data", uuid.uuid4().hex[:16])
         accessor_for(p).mkdirs(p)
         return p
 
     def new_delete_dir(self) -> str:
-        p = os.path.join(self.location, "deletes", uuid.uuid4().hex[:16])
+        p = os.path.join(self.data_root, "deletes", uuid.uuid4().hex[:16])
         accessor_for(p).mkdirs(p)
         return p
 
@@ -225,11 +235,19 @@ def _abs_location(location: str) -> str:
     return location if "://" in location else os.path.abspath(location)
 
 
-def create_table(location: str, schema: StructType, properties: dict | None = None) -> Table:
+def create_table(
+    location: str,
+    schema: StructType,
+    properties: dict | None = None,
+    data_location: str | None = None,
+) -> Table:
     location = _abs_location(location)
-    acc = accessor_for(location)
-    for sub in ("metadata", "data", "deletes"):
-        acc.mkdirs(os.path.join(location, sub))
+    data_location = _abs_location(data_location) if data_location else None
+    accessor_for(location).mkdirs(os.path.join(location, "metadata"))
+    data_root = data_location or location
+    dacc = accessor_for(data_root)
+    for sub in ("data", "deletes"):
+        dacc.mkdirs(os.path.join(data_root, sub))
     md = TableMetadata(
         table_uuid=uuid.uuid4().hex,
         location=location,
@@ -240,6 +258,7 @@ def create_table(location: str, schema: StructType, properties: dict | None = No
         current_snapshot_id=None,
         snapshots=[],
         properties=properties or {},
+        data_location=data_location,
     )
     _write_metadata_cas(md)
     return Table(md)
@@ -275,16 +294,23 @@ def _read_current_metadata(location: str) -> TableMetadata:
     version = None
     if acc.exists(hint):
         version = int(acc.read_text(hint).strip())
-    # the hint can lag the latest CAS-committed version — scan forward
-    candidates = [
-        p
-        for p in acc.list(meta_dir, suffix=".metadata.json")
-        if os.path.basename(p).startswith("v")
-    ]
-    if not candidates:
-        raise FileNotFoundError(f"not a table: {location}")
-    latest = max(int(os.path.basename(p)[1:].split(".")[0]) for p in candidates)
-    version = latest if version is None or latest > version else version
+        # the hint can lag the latest CAS-committed version (a writer crashed
+        # between CAS and hint rewrite) — probe FORWARD from the hint with
+        # O(lag) existence checks instead of listing the whole metadata dir
+        # (which is O(history) and, between expiries, can hold thousands of
+        # snapshot/manifest objects a refresh must not pay for)
+        while acc.exists(_metadata_path(location, version + 1)):
+            version += 1
+    else:
+        # no hint (torn first commit / foreign table): full-list fallback
+        candidates = [
+            p
+            for p in acc.list(meta_dir, suffix=".metadata.json")
+            if os.path.basename(p).startswith("v")
+        ]
+        if not candidates:
+            raise FileNotFoundError(f"not a table: {location}")
+        version = max(int(os.path.basename(p)[1:].split(".")[0]) for p in candidates)
     return TableMetadata.from_dict(
         json.loads(acc.read_text(_metadata_path(location, version)))
     )

@@ -114,6 +114,10 @@ class TableMetadata:
     current_snapshot_id: int | None
     snapshots: list[Snapshot]
     properties: dict = field(default_factory=dict)
+    # where ROW data (parquet) lives when split from the metadata root —
+    # e.g. metadata on an object store (CAS protocol) with data on a
+    # Spark/pyarrow-readable filesystem. None = same root as ``location``.
+    data_location: str | None = None
 
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
         for s in self.snapshots:
@@ -147,6 +151,7 @@ class TableMetadata:
     def from_dict(d: dict) -> "TableMetadata":
         d = dict(d)
         d.pop("format_version", None)
+        d.setdefault("data_location", None)
         files = d.pop("snapshot_files", None)
         if files is not None:
             d["snapshots"] = [read_snapshot(p) for p in files]
@@ -156,21 +161,58 @@ class TableMetadata:
 
 
 # ---------------------------------------------------------------- manifest IO
+#
+# Snapshot and manifest objects are written ONCE under uuid-suffixed names
+# and never modified — so they are cached by path, making refresh() and
+# entries() O(unseen objects) instead of O(history): after one commit a
+# refresh reads exactly the new metadata version + the one new snapshot
+# object, and re-listing manifests costs zero IO (moonlink reuses manifests
+# by reference for the same reason,
+# reference: src/moonlink/src/storage/iceberg/puffin_writer_proxy.rs:252-352).
+# The caches hold PARSED JSON; reader functions rebuild dataclasses per call
+# so callers can mutate their copies freely. Bounded LRU to stay
+# long-process-safe.
+
+_CACHE_MAX = 4096
+
+
+class _LRU(dict):
+    def put(self, k, v):
+        if k in self:
+            del self[k]
+        elif len(self) >= _CACHE_MAX:
+            del self[next(iter(self))]
+        self[k] = v
+
+
+_manifest_cache = _LRU()
+_snapshot_cache = _LRU()
+
+
+def clear_metadata_cache() -> None:
+    """Test hook / explicit invalidation (objects are immutable; only needed
+    when a test re-creates a table at a path that aliases a cached one —
+    impossible in production because names carry uuids)."""
+    _manifest_cache.clear()
+    _snapshot_cache.clear()
 
 
 def write_manifest(metadata_dir: str, sequence_number: int, entries: list[FileEntry]) -> str:
     path = os.path.join(
         metadata_dir, f"manifest-{sequence_number}-{uuid.uuid4().hex[:12]}.json"
     )
-    accessor_for(path).write_atomic(
-        path, json.dumps({"entries": [e.to_dict() for e in entries]})
-    )
+    dicts = [e.to_dict() for e in entries]
+    accessor_for(path).write_atomic(path, json.dumps({"entries": dicts}))
+    _manifest_cache.put(path, dicts)
     return path
 
 
 def read_manifest(path: str) -> list[FileEntry]:
-    d = json.loads(accessor_for(path).read_text(path))
-    return [FileEntry.from_dict(e) for e in d["entries"]]
+    dicts = _manifest_cache.get(path)
+    if dicts is None:
+        dicts = json.loads(accessor_for(path).read_text(path))["entries"]
+        _manifest_cache.put(path, dicts)
+    return [FileEntry.from_dict(e) for e in dicts]
 
 
 def write_snapshot(metadata_dir: str, snap: Snapshot) -> str:
@@ -180,12 +222,18 @@ def write_snapshot(metadata_dir: str, snap: Snapshot) -> str:
         metadata_dir, f"snap-{snap.snapshot_id}-{uuid.uuid4().hex[:12]}.json"
     )
     snap.file = path
-    accessor_for(path).write_atomic(path, json.dumps(snap.to_dict()))
+    d = snap.to_dict()
+    accessor_for(path).write_atomic(path, json.dumps(d))
+    _snapshot_cache.put(path, d)
     return path
 
 
 def read_snapshot(path: str) -> Snapshot:
-    return Snapshot.from_dict(json.loads(accessor_for(path).read_text(path)))
+    d = _snapshot_cache.get(path)
+    if d is None:
+        d = json.loads(accessor_for(path).read_text(path))
+        _snapshot_cache.put(path, d)
+    return Snapshot.from_dict(d)
 
 
 def snapshot_entries(md: TableMetadata, snapshot: Snapshot) -> list[FileEntry]:

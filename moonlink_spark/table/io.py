@@ -28,7 +28,6 @@ same surface; the sandbox has no boto3, so the seam is the mem:// store.
 
 from __future__ import annotations
 
-import glob as _glob
 import os
 import threading
 import uuid
@@ -66,6 +65,12 @@ class StorageAccessor(ABC):
     def mkdirs(self, path: str) -> None:
         """Ensure a directory prefix exists (no-op on object stores)."""
 
+    def delete_prefix(self, prefix: str) -> None:
+        """Remove every object under ``prefix`` and the prefix itself
+        (directory tree on fs; key-prefix sweep on object stores)."""
+        for p in self.list(prefix):
+            self.delete(p)
+
 
 class LocalFSAccessor(StorageAccessor):
     def read_text(self, path: str) -> str:
@@ -87,14 +92,25 @@ class LocalFSAccessor(StorageAccessor):
             f.write(data)
 
     def list(self, prefix: str, suffix: str = "") -> list[str]:
-        hits = _glob.glob(os.path.join(prefix, "**", f"*{suffix}"), recursive=True)
-        return sorted(p for p in hits if os.path.isfile(p))
+        # os.walk, not glob: a table path containing glob metacharacters
+        # ([, ?, *) must list literally, never silently match nothing
+        hits = []
+        for root, _dirs, files in os.walk(prefix):
+            for fn in files:
+                if fn.endswith(suffix):
+                    hits.append(os.path.join(root, fn))
+        return sorted(hits)
 
     def delete(self, path: str) -> None:
         try:
             os.remove(path)
         except FileNotFoundError:
             pass
+
+    def delete_prefix(self, prefix: str) -> None:
+        import shutil
+
+        shutil.rmtree(prefix, ignore_errors=True)
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
@@ -134,19 +150,142 @@ class InMemoryObjectStore(StorageAccessor):
 
     def list(self, prefix: str, suffix: str = "") -> list[str]:
         p = prefix.rstrip("/") + "/"
-        return sorted(
-            k for k in self._objects if k.startswith(p) and k.endswith(suffix)
-        )
+        with InMemoryObjectStore._lock:
+            keys = list(self._objects)
+        return sorted(k for k in keys if k.startswith(p) and k.endswith(suffix))
 
     def delete(self, path: str) -> None:
         with InMemoryObjectStore._lock:
             self._objects.pop(path, None)
 
     def exists(self, path: str) -> bool:
-        return path in self._objects
+        with InMemoryObjectStore._lock:
+            return path in self._objects
 
     def mkdirs(self, path: str) -> None:
         pass  # object stores have no directories
+
+
+class TransientIOError(OSError):
+    """Injected/transient storage failure (the retryable class)."""
+
+
+class RetryAccessor(StorageAccessor):
+    """Retries transient failures with exponential backoff — moonlink wraps
+    every filesystem accessor the same way (reference:
+    src/moonlink/src/storage/filesystem/accessor_config.rs — RetryConfig
+    around the base accessor, ChaosConfig under test).
+
+    ``CasConflict`` is NEVER retried: it is a protocol outcome, not a
+    failure. Note the object-store ambiguity this implies: if a
+    ``create_exclusive`` attempt fails transiently AFTER the object landed,
+    the retry sees CasConflict against our own write. The commit layer is
+    safe against this — the caller re-reads table state and the engine's
+    LSN idempotence turns the re-apply into a no-op (merge_cdc_batch skips
+    batches whose LSN is already persisted)."""
+
+    def __init__(
+        self,
+        inner: StorageAccessor,
+        attempts: int = 4,
+        base_delay_s: float = 0.02,
+        retryable: tuple = (TransientIOError, TimeoutError),
+    ):
+        self.inner = inner
+        self.attempts = attempts
+        self.base_delay_s = base_delay_s
+        self.retryable = retryable
+
+    def _call(self, fn, *args):
+        import time as _time
+
+        last = None
+        for i in range(self.attempts):
+            try:
+                return fn(*args)
+            except CasConflict:
+                raise
+            except self.retryable as e:
+                last = e
+                _time.sleep(self.base_delay_s * (2**i))
+        raise last
+
+    def read_text(self, path):
+        return self._call(self.inner.read_text, path)
+
+    def write_atomic(self, path, data):
+        return self._call(self.inner.write_atomic, path, data)
+
+    def create_exclusive(self, path, data):
+        return self._call(self.inner.create_exclusive, path, data)
+
+    def list(self, prefix, suffix=""):
+        return self._call(self.inner.list, prefix, suffix)
+
+    def delete(self, path):
+        return self._call(self.inner.delete, path)
+
+    def delete_prefix(self, prefix):
+        return self._call(self.inner.delete_prefix, prefix)
+
+    def exists(self, path):
+        return self._call(self.inner.exists, path)
+
+    def mkdirs(self, path):
+        return self._call(self.inner.mkdirs, path)
+
+
+class ChaosAccessor(StorageAccessor):
+    """Seeded fault injection: each operation fails with ``error_rate``
+    probability BEFORE reaching the inner store (deterministic per seed —
+    replayable, like moonlink's chaos_generator). Compose as
+    RetryAccessor(ChaosAccessor(real)) to test the retry path, or use bare
+    to test failure surfacing."""
+
+    def __init__(self, inner: StorageAccessor, seed: int = 0, error_rate: float = 0.2):
+        import random
+
+        self.inner = inner
+        self.error_rate = error_rate
+        self._rng = random.Random(seed)
+        self.injected = 0
+
+    def _maybe_fail(self, op: str, path: str):
+        if self._rng.random() < self.error_rate:
+            self.injected += 1
+            raise TransientIOError(f"injected {op} failure: {path}")
+
+    def read_text(self, path):
+        self._maybe_fail("read", path)
+        return self.inner.read_text(path)
+
+    def write_atomic(self, path, data):
+        self._maybe_fail("write", path)
+        return self.inner.write_atomic(path, data)
+
+    def create_exclusive(self, path, data):
+        self._maybe_fail("create", path)
+        return self.inner.create_exclusive(path, data)
+
+    def list(self, prefix, suffix=""):
+        self._maybe_fail("list", prefix)
+        return self.inner.list(prefix, suffix)
+
+    def delete(self, path):
+        self._maybe_fail("delete", path)
+        return self.inner.delete(path)
+
+    def delete_prefix(self, prefix):
+        self._maybe_fail("delete_prefix", prefix)
+        return self.inner.delete_prefix(prefix)
+
+    def exists(self, path):
+        self._maybe_fail("exists", path)
+        return self.inner.exists(path)
+
+    def mkdirs(self, path):
+        self._maybe_fail("mkdirs", path)
+        return self.inner.mkdirs(path)
 
 
 def accessor_for(path: str) -> StorageAccessor:

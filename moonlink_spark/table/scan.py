@@ -99,12 +99,12 @@ def scan(
     )
 
     if delete_entries:
+        from moonlink_spark.table.dv import read_delete_positions
+
         n_del = sum(e.record_count for e in delete_entries)
-        dels = spark.read.schema("file_path string, pos long").parquet(
-            *[e.path for e in delete_entries]
-        )
-        # dedup: the same (file,pos) may be deleted in multiple delete files
-        # only via bugs, but the anti-join is idempotent anyway
+        # DV bitmaps expand to (file,pos) rows lazily, executor-side, and
+        # only feed this anti-join — delete metadata is tiny vs row data
+        dels = read_delete_positions(spark, delete_entries)
         cond = (df[FILE_COL] == dels["file_path"]) & (df[POS_COL] == dels["pos"])
         if n_del <= _BROADCAST_DELETE_ROWS:
             dels = F.broadcast(dels)

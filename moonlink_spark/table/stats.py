@@ -44,12 +44,28 @@ def _jsonable(v, is_max: bool):
     return v
 
 
-def _footer_stats(paths: pd.Series) -> pd.DataFrame:
+def _open_footer(p: str):
+    """(ParquetFile, size) for local paths AND object-store URIs — the
+    data-plane analog of the metadata accessor (reference: moonlink routes
+    every file op through its FilesystemAccessor,
+    src/moonlink/src/storage/filesystem/accessor/filesystem_accessor.rs).
+    pyarrow.fs speaks s3://, gs://, hdfs:// natively; plain paths stay on
+    the fast local branch."""
     import pyarrow.parquet as pq
 
+    if "://" in p and not p.startswith("file:"):
+        from pyarrow import fs as pafs
+
+        fsys, inner = pafs.FileSystem.from_uri(p)
+        return pq.ParquetFile(fsys.open_input_file(inner)), fsys.get_file_info(inner).size
+    local = p[len("file:"):] if p.startswith("file:") else p
+    return pq.ParquetFile(local), os.path.getsize(local)
+
+
+def _footer_stats(paths: pd.Series) -> pd.DataFrame:
     rows = []
     for p in paths:
-        pf = pq.ParquetFile(p)
+        pf, fsize = _open_footer(p)
         md = pf.metadata
         agg: dict[str, dict] = {}
         for rg in range(md.num_row_groups):
@@ -76,7 +92,7 @@ def _footer_stats(paths: pd.Series) -> pd.DataFrame:
             {
                 "path": p,
                 "record_count": md.num_rows,
-                "file_size_bytes": os.path.getsize(p),
+                "file_size_bytes": fsize,
                 "stats_json": json.dumps(agg),
             }
         )

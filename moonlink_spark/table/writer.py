@@ -24,8 +24,20 @@ from moonlink_spark.table.stats import collect_file_entries
 
 def list_parquet(out_dir: str) -> list[str]:
     """All parquet objects under a commit directory (recursive — covers
-    bucketed __bucket=N/ subdirectories), via the storage accessor."""
-    return accessor_for(out_dir).list(out_dir, suffix=".parquet")
+    bucketed __bucket=N/ subdirectories), via the storage accessor.
+
+    Spark job-internal artifacts are excluded: files under ``_temporary``
+    (a crashed job's uncommitted task attempts) and hidden ``_``/``.``
+    entries (_SUCCESS markers, .crc sidecars) must never become manifest
+    entries."""
+    out = []
+    for p in accessor_for(out_dir).list(out_dir, suffix=".parquet"):
+        rel = p[len(out_dir):].lstrip("/")
+        parts = rel.split("/")
+        if any(seg.startswith(("_", ".")) and not seg.startswith("__bucket=") for seg in parts):
+            continue
+        out.append(p)
+    return out
 
 FLUSH_TARGET_BYTES = 128 * 1024 * 1024
 COMPACT_TARGET_BYTES = 512 * 1024 * 1024
@@ -63,6 +75,7 @@ def write_bucketed_data_files(
     key: str,
     buckets: int,
     max_records_per_file: int | None = None,
+    mode: str = "append",
 ) -> list[FileEntry]:
     """Write ``df`` hash-bucketed by ``key``: one directory per bucket, each
     file bucket-pure, and the bucket id recorded in its manifest entry so
@@ -76,7 +89,7 @@ def write_bucketed_data_files(
     w = df.withColumn(_BUCKET_COL, bucket_id(F.col(key), buckets)).repartition(
         buckets, F.col(_BUCKET_COL)
     )
-    writer = w.write.mode("append").format("parquet").partitionBy(_BUCKET_COL)
+    writer = w.write.mode(mode).format("parquet").partitionBy(_BUCKET_COL)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     writer.save(out_dir)
@@ -84,7 +97,12 @@ def write_bucketed_data_files(
     entries = collect_file_entries(spark, paths, content=DATA)
     for e in entries:
         e.bucket = int(os.path.basename(os.path.dirname(e.path)).split("=", 1)[1])
-    return entries
+    # bucketize IS the index build (moonlink's flush/index split): the same
+    # pass also records a per-file key bloom so MERGE prunes per KEY, not
+    # just per bucket (persisted_bucket_hash_map.rs:276-307 probe semantics)
+    from moonlink_spark.table.bloom import attach_key_blooms
+
+    return attach_key_blooms(spark, entries, key)
 
 
 def write_data_files(
@@ -117,14 +135,30 @@ def write_data_files(
     return collect_file_entries(spark, list_parquet(out_dir), content=DATA)
 
 
-def write_delete_files(spark: SparkSession, deletes_df: DataFrame, out_dir: str) -> list[FileEntry]:
-    """Write positional delete rows (file_path, pos) sorted for locality —
-    the persisted form of moonlink's deletion vectors (reference:
-    src/moonlink/src/storage/iceberg/deletion_vector.rs:16-98)."""
-    (
-        deletes_df.select("file_path", "pos")
-        .sortWithinPartitions("file_path", "pos")
-        .write.mode("append")
-        .parquet(out_dir)
-    )
-    return collect_file_entries(spark, list_parquet(out_dir), content=DELETES)
+def write_delete_files(
+    spark: SparkSession,
+    deletes_df: DataFrame,
+    out_dir: str,
+    num_files: int = 1,
+) -> list[FileEntry]:
+    """Write positional deletes as COMPRESSED deletion vectors: one
+    (file_path, card, bitmap) row per referenced data file — the persisted
+    form of moonlink's RoaringTreemap DV blobs (reference:
+    src/moonlink/src/storage/iceberg/deletion_vector.rs:16-98). ~100x
+    smaller than row-per-position at high delete ratios.
+
+    The entry's ``record_count`` is the DELETED-POSITION cardinality (the
+    reference's cardinality blob property), so scan broadcast sizing and
+    merge metrics keep their v1 semantics."""
+    from moonlink_spark.table.dv import DV2, DV_FORMAT_STAT, dv2_cardinalities, pack_positions
+
+    packed = pack_positions(deletes_df)
+    if num_files:
+        packed = packed.repartition(num_files)
+    packed.sortWithinPartitions("file_path").write.mode("append").parquet(out_dir)
+    entries = collect_file_entries(spark, list_parquet(out_dir), content=DELETES)
+    cards = dv2_cardinalities(spark, [e.path for e in entries])
+    for e in entries:
+        e.record_count = cards.get(e.path, 0)
+        e.stats[DV_FORMAT_STAT] = DV2
+    return entries

@@ -153,6 +153,49 @@ def test_bucketed_probe_prunes_candidates(spark, tmp_path):
     assert {r["image_id"] for r in got} == ref_keys
 
 
+def test_bloom_prunes_within_buckets(spark, tmp_path):
+    """Per-KEY pruning (the bloom half of the GlobalIndex analog): with few
+    buckets and many files per bucket, a narrow batch touches every BUCKET —
+    bucket-set pruning is a no-op — but the per-file key blooms keep only the
+    files that actually contain a batch key."""
+    from moonlink_spark.cdc import materialize_spec
+    from moonlink_spark.datagen import generate_images
+    from moonlink_spark.table.bloom import BLOOM_STAT
+    from moonlink_spark.table.writer import BUCKETS_PROP, write_bucketed_data_files
+
+    B = 4
+    t = create_table(
+        str(tmp_path / "blm"), IMAGES_SCHEMA, properties={BUCKETS_PROP: str(B)}
+    )
+    df = generate_images(spark, 2000, partitions=8)
+    entries = write_bucketed_data_files(
+        spark, df, t.new_data_dir(), "image_id", B, max_records_per_file=40
+    )
+    assert all(BLOOM_STAT in e.stats for e in entries)
+    t.commit("append", added=entries, lsn=1)
+    total = len(t.data_entries())
+    assert total >= 40  # many files per bucket
+
+    gen = CdcScheduleGenerator(seed=13)
+    gen.next_new = 2000
+    gen.live = {i: 0 for i in range(0, 2000, 7)}
+    gen.next_lsn = 2
+    spec = gen.next_spec(0, 6, 0)
+    ref_keys = {f"img{int(i):012d}" for i in spec["idx"]}
+    res = merge_cdc_batch(
+        spark, t, to_spark(spark, materialize_spec(spec)), gen.commit_lsn
+    )
+    # bucket prune alone keeps every file of every touched bucket (>= half
+    # the table for a 6-key batch over 4 buckets)...
+    assert res.metrics["bloom_pruned_from"] >= total // 2
+    # ...the blooms cut it to ~one file per key (+ rare false positives)
+    assert res.metrics["pruned_candidates"] <= 10
+    assert res.metrics["pruned_candidates"] < res.metrics["bloom_pruned_from"]
+    assert res.metrics["matched"] == 6
+    got = scan(spark, t).filter(F.col("caption").contains(" v1")).collect()
+    assert {r["image_id"] for r in got} == ref_keys
+
+
 def test_compaction_bucketizes_flushed_files(spark, tmp_path):
     """Flush/index split: MERGE inserts land unbucketed (no shuffle on the
     ingest path); a full compaction routes them through the bucketed rewrite

@@ -101,6 +101,37 @@ def test_mem_store_expire_deletes_objects(loc):
     assert {e.path for e in t3.data_entries()} >= {kept.path}
 
 
+def test_refresh_is_o_delta_not_o_history(loc, monkeypatch):
+    """After one commit, refresh() reads O(1) metadata objects — the new
+    metadata version (+ hint/existence probes), never the whole snapshot
+    history (snap/manifest objects are immutable and cached by path)."""
+    t = create_table(loc, SCHEMA)
+    for i in range(12):  # build up history
+        t.commit("append", added=[_entry("h")], lsn=i + 1)
+    reader = load_table(loc)  # fresh handle, caches warm from commits
+    t.commit("append", added=[_entry("h")], lsn=100)  # one new commit
+
+    reads = []
+    real_read = InMemoryObjectStore.read_text
+
+    def counting_read(self, path):
+        reads.append(path)
+        return real_read(self, path)
+
+    monkeypatch.setattr(InMemoryObjectStore, "read_text", counting_read)
+    reader.refresh()
+    assert reader.flush_lsn == 100
+    # hint + new metadata json; every historical snap-*.json comes from cache
+    assert len(reads) <= 3, f"refresh read {len(reads)} objects: {reads}"
+    assert not any("snap-" in p for p in reads)
+
+    # listing entries after refresh reads no manifest objects either (all 13
+    # manifests were cached when written/first read)
+    reads.clear()
+    assert len(reader.data_entries()) == 13
+    assert reads == []
+
+
 def test_cas_primitive_semantics():
     acc = InMemoryObjectStore("race")
     acc.create_exclusive("mem://race/obj", "first")

@@ -62,6 +62,40 @@ def test_positional_deletes(spark, table):
     assert scan(spark, table, snapshot_id=first).count() == 100
 
 
+def test_dv_bitmap_compression_and_roundtrip(spark, table):
+    """DV v2: delete files are bitmap-per-data-file, >=10x smaller than the
+    row-per-position representation at a 25% delete ratio, with identical
+    scan semantics (deletion_vector.rs:16-98 parity)."""
+    from moonlink_spark.table.dv import DV2, is_dv2, read_delete_positions
+
+    _append_images(spark, table, 2000, lsn=10)
+    live = scan(spark, table, with_pos=True)
+    to_del = live.filter(F.pmod(F.col("phash"), F.lit(4)) == 0).select(
+        F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+    )
+    n_del = to_del.count()
+    assert n_del > 200  # ~25% of rows
+    dentries = write_delete_files(spark, to_del, table.new_delete_dir())
+    table.commit("delete", added=dentries, lsn=20)
+
+    assert all(is_dv2(e) for e in dentries)
+    # record_count carries the deleted-position cardinality
+    assert sum(e.record_count for e in dentries) == n_del
+    # the stored representation is ≤1 bit-payload byte per ~8 deleted
+    # positions + slack for sparse tails — vs ≥8B (pos) + path per row in v1.
+    # (End-to-end FILE byte ratio is asserted at bench scale, where parquet
+    # per-file fixed overhead stops dominating.)
+    payload = (
+        spark.read.parquet(*[e.path for e in dentries])
+        .agg(F.sum(F.length("bitmap"))).collect()[0][0]
+    )
+    assert payload < n_del, f"bitmap payload {payload}B for {n_del} positions"
+    # expansion round-trips exactly
+    got = read_delete_positions(spark, dentries)
+    assert got.count() == n_del
+    assert scan(spark, table).count() == 2000 - n_del
+
+
 def test_scan_at_lsn(spark, table):
     _append_images(spark, table, 50, lsn=10)
     _append_images(spark, table, 50, lsn=20)
