@@ -125,16 +125,45 @@ def q_file_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine op: compaction bin planning (compact.py) — cumulative-size
-    binning of 'files' (orders as proxies) into 50-unit bins."""
+    binning of 'files' (orders as proxies) into 50-unit bins.
+
+    The global prefix sum is two-phase so NO single-partition WindowExec
+    touches the full file list (a 10^9-file anti-pattern): an in-range-group
+    cumulative window (partitioned, parallel) plus a broadcast join against
+    per-group offsets — the only global window runs over #groups rows."""
     li = _t(spark, sf_dir, "lineitem")
     files = li.groupBy("l_orderkey").agg(F.count("*").alias("size_units"))
-    w = Window.orderBy("l_orderkey").rowsBetween(Window.unboundedPreceding, 0)
-    return files.select(
-        "l_orderkey",
-        "size_units",
-        (
-            F.floor((F.sum("size_units").over(w) - F.col("size_units")) / F.lit(50))
-        ).cast("long").alias("bin"),
+    files = files.withColumn(
+        "__grp", F.floor(F.col("l_orderkey") / F.lit(8192))
+    )
+    w_in = (
+        Window.partitionBy("__grp")
+        .orderBy("l_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_in = F.sum("size_units").over(w_in)
+    # per-group offsets: one tiny agg (rows = #groups) collected and
+    # prefix-summed driver-side — the same place compaction's own bin
+    # planner runs (operators/compact.py plan_bins is driver-side over
+    # manifest entries); no partition ever holds the full file list
+    totals = sorted(
+        (r["__grp"], r["t"])
+        for r in files.groupBy("__grp").agg(F.sum("size_units").alias("t")).collect()
+    )
+    offs, acc = [], 0
+    for g, tot in totals:
+        offs.append((g, acc))
+        acc += tot
+    offsets = spark.createDataFrame(offs, "__grp long, __off long")
+    return (
+        files.join(F.broadcast(offsets), "__grp")
+        .select(
+            "l_orderkey",
+            "size_units",
+            F.floor((F.col("__off") + cum_in - F.col("size_units")) / F.lit(50))
+            .cast("long")
+            .alias("bin"),
+        )
     )
 
 
@@ -478,6 +507,118 @@ def q_engine_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_at_lsn(spark, t, lsn=2).select(*_LIFECYCLE_COLS)
 
 
+def _img_rows(df: DataFrame) -> DataFrame:
+    """orders → image-schema rows (same mapping as _lifecycle_table)."""
+    k = F.col("o_orderkey")
+    return df.select(
+        k.cast("string").alias("image_id"),
+        F.col("o_orderpriority").cast("binary").alias("bytes"),
+        (k % 100).cast("int").alias("w"),
+        F.length("o_orderpriority").cast("int").alias("h"),
+        F.col("o_orderstatus").alias("fmt"),
+        F.col("o_orderpriority").alias("caption"),
+        F.col("o_custkey").cast("long").alias("phash"),
+    )
+
+
+def q_engine_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: streaming transactions (moonlink O6,
+    transaction_stream.rs:137-143) — one multi-append transaction COMMITS
+    (updates + deletes land as a single snapshot), a second transaction
+    ABORTS (its staged rows must never be visible)."""
+    import tempfile
+
+    from moonlink_spark.schema import IMAGES_SCHEMA
+    from moonlink_spark.streaming.stream import StreamingTransaction
+    from moonlink_spark.table.catalog import create_table
+    from moonlink_spark.table.scan import scan
+    from moonlink_spark.table.writer import write_data_files
+
+    k = F.col("o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    wd = tempfile.mkdtemp(prefix="moonlink_stream_")
+    t = create_table(f"{wd}/tbl", IMAGES_SCHEMA)
+    entries = write_data_files(
+        spark, _img_rows(orders.filter(k % 10 < 3)), t.new_data_dir()
+    )
+    t.commit("append", added=entries, lsn=1)
+
+    def upd(df, suffix):
+        return (
+            _img_rows(df)
+            .withColumn("caption", F.concat(F.col("caption"), F.lit(suffix)))
+            .select(
+                F.lit("U").alias("op"),
+                F.col("image_id").cast("long").alias("lsn"),
+                "*",
+            )
+        )
+
+    def dele(df):
+        return df.select(
+            F.lit("D").alias("op"),
+            k.cast("long").alias("lsn"),
+            k.cast("string").alias("image_id"),
+            F.lit(None).cast("binary").alias("bytes"),
+            F.lit(None).cast("int").alias("w"),
+            F.lit(None).cast("int").alias("h"),
+            F.lit(None).cast("string").alias("fmt"),
+            F.lit(None).cast("string").alias("caption"),
+            F.lit(None).cast("long").alias("phash"),
+        )
+
+    tx = StreamingTransaction(spark, t)
+    tx.append(upd(orders.filter((k % 10 < 3) & (k % 7 == 1)), " s2"))
+    tx.append(dele(orders.filter((k % 10 < 3) & (k % 7 == 2))))
+    tx.commit(lsn=2)
+
+    tx2 = StreamingTransaction(spark, t)
+    tx2.append(upd(orders.filter((k % 10 < 3) & (k % 7 == 3)), " XX"))
+    tx2.abort()  # staged rows discarded — never visible
+
+    return scan(spark, t).select(*_LIFECYCLE_COLS)
+
+
+def q_engine_evolve_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: schema evolution (moonlink O18, AlterTable
+    mooncake_table.rs:96-123) + bulk file ingest (O22, add_files
+    batch_ingestion.rs:21-120) — add a column, adopt external parquet that
+    HAS it, drop another; old files read NULL for the new column."""
+    import tempfile
+
+    from pyspark.sql.types import IntegerType, StructField
+
+    from moonlink_spark.operators.evolve import add_columns, drop_columns
+    from moonlink_spark.operators.ingest import add_files
+    from moonlink_spark.schema import IMAGES_SCHEMA
+    from moonlink_spark.table.catalog import create_table
+    from moonlink_spark.table.scan import scan
+    from moonlink_spark.table.writer import list_parquet, write_data_files
+
+    k = F.col("o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    wd = tempfile.mkdtemp(prefix="moonlink_evolve_")
+    t = create_table(f"{wd}/tbl", IMAGES_SCHEMA)
+    entries = write_data_files(
+        spark, _img_rows(orders.filter(k % 10 < 3)), t.new_data_dir()
+    )
+    t.commit("append", added=entries, lsn=1)
+
+    add_columns(t, [StructField("rating", IntegerType(), True)])
+    drop_columns(t, ["fmt"])
+
+    ext = (
+        _img_rows(orders.filter(k % 10 == 9))
+        .drop("fmt")  # matches the post-evolution schema
+        .withColumn("rating", (F.col("image_id").cast("long") % 5).cast("int"))
+    )
+    ext_dir = f"{wd}/external"
+    ext.write.parquet(ext_dir)
+    add_files(spark, t, list_parquet(ext_dir), lsn=2)
+
+    return scan(spark, t).select("image_id", "caption", "rating")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -502,6 +643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_compact_scan": q_engine_compact_scan,
         "engine_cluster_scan": q_engine_cluster_scan,
         "engine_timetravel": q_engine_timetravel,
+        "engine_stream_scan": q_engine_stream_scan,
+        "engine_evolve_scan": q_engine_evolve_scan,
     }
 
 
@@ -809,6 +952,21 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             WHERE (k % 10 < 3 AND k % 7 <> 2)
                OR (k % 10 = 5 AND k % 3 = 0)
+        """,
+        "engine_stream_scan": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CASE WHEN k % 7 = 1 THEN c || ' s2' ELSE c END AS caption,
+                   ph AS phash
+            FROM base
+            WHERE k % 10 < 3 AND k % 7 <> 2
+        """,
+        "engine_evolve_scan": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   c AS caption,
+                   CASE WHEN k % 10 = 9 THEN CAST(k % 5 AS INTEGER)
+                        ELSE NULL END AS rating
+            FROM base
+            WHERE k % 10 < 3 OR k % 10 = 9
         """,
         "embedding_topk": """
             SELECT query_id, neighbor_id, rank FROM (
