@@ -142,7 +142,10 @@ def io_probe(nproc: int, workdir: str | None = None) -> dict[str, float]:
             n = sum(pool.map(_io_read_work, [(s, _IO_READ_REPS) for s in shards]))
             read_gbps = n / (time.perf_counter() - t0) / 1e9
 
-            per = (_IO_FILES * (_IO_FILE_MB << 20)) // nproc
+            # write leg: 1/4 of the read volume — cold-page writes run at
+            # ~10 MB/s on this VM, so the full read volume would dominate
+            # the probe's wall time without changing the measured rate
+            per = (_IO_FILES * (_IO_FILE_MB << 20)) // (4 * nproc)
             wargs = [
                 (os.path.join(workdir, f"w{i:03d}.bin"), per, i) for i in range(nproc)
             ]
