@@ -50,6 +50,14 @@ BENCH_ROWS = int(os.environ.get("MOONLINK_BENCH_ROWS", "20000"))
 CDC_ROWS = int(os.environ.get("MOONLINK_BENCH_CDC", "10000"))
 MERGE_BATCHES = int(os.environ.get("MOONLINK_BENCH_BATCHES", "2"))
 SCAN_REPS = int(os.environ.get("MOONLINK_BENCH_SCAN_REPS", "3"))
+# k-replication factor for the timed scan region: ONE Spark job unions k
+# independent scans of the snapshot's file set, so the timed region is
+# O(k x table bytes) long with a single job's fixed scheduling/planning
+# overhead. Sized so the region is >= 60s at local[32] (the verdictable
+# region length); FIXED across core counts so every level does
+# byte-identical work. k=1 (the smoke default) keeps old behavior.
+SCAN_K_PRE = int(os.environ.get("MOONLINK_SCAN_K_PRE", "1"))
+SCAN_K_POST = int(os.environ.get("MOONLINK_SCAN_K_POST", "1"))
 
 # ---- layout constants: FIXED regardless of core count, so runs at
 # ---- different parallelism do byte-identical work (scaling evidence).
@@ -57,7 +65,12 @@ LAYOUT_PARTITIONS = 64          # generation + CDC partitioning
 SHUFFLE_PARTITIONS = 64
 LOAD_ROWS_PER_FILE = 3072       # ~48 MiB data files at ~15.6 KiB/row
 COMPACT_TARGET = 64 * 1024 * 1024
-SCAN_SPLIT_BYTES = 8 * 1024 * 1024
+# 32 MiB splits: the k-replicated scan region runs a few thousand tasks at
+# most, so the driver's serial task dispatch (~1k-2k tasks/s in local mode)
+# stays << the timed region at every core count. 8 MiB splits made the
+# region ~4x more tasks for no extra parallelism (128+ splits already
+# saturate 32 cores).
+SCAN_SPLIT_BYTES = 32 * 1024 * 1024
 KEY_BUCKETS = 64                # hash-bucketed layout (MERGE probe pruning)
 
 
@@ -173,9 +186,14 @@ def bench_engine(spark, workdir: str) -> dict:
     merge_sec = statistics.median(merge_secs)
     merge_rate = statistics.median(merge_rates)
 
-    def timed_scan() -> tuple[float, list[float]]:
+    def timed_scan(k: int) -> tuple[float, list[float]]:
         """Full-table scan + checksum agg; median of SCAN_REPS after one
-        untimed warmup pass.
+        untimed warmup pass. Each timed pass is ONE Spark job that unions
+        ``k`` independent scans of the snapshot's file set, so the timed
+        region is k x (table scan) long while paying one job's fixed
+        planning/scheduling overhead — with k sized so the region is >= 60s
+        at local[32], fixed overhead can no longer masquerade as poor
+        scaling. Returned seconds are PER TABLE COPY (region / k).
 
         The warmup is load-bearing on this sandbox VM: guest pages the JVM
         returned to the OS since the last scan re-materialize host-side at
@@ -184,24 +202,30 @@ def bench_engine(spark, workdir: str) -> dict:
         for the same ~10 CPU-s of user-time decode work, warm passes <2k
         faults). One untimed pass re-touches those buffers so the medians
         measure the engine, not the hypervisor's lazy-memory rate."""
-        def one_pass() -> None:
-            scan(spark, t).agg(
+        def region(kk: int) -> None:
+            df = scan(spark, t)
+            for _ in range(kk - 1):
+                df = df.unionAll(scan(spark, t))
+            df.agg(
                 F.sum(F.length("bytes").cast("long")),
                 F.bit_xor(F.xxhash64("image_id")),
                 F.count("*"),
             ).collect()
 
-        one_pass()  # warmup (untimed)
+        # warmup (untimed): touch every file's bytes twice so executor
+        # buffers and the OS page cache are warm, without paying a full
+        # k-region twice
+        region(min(k, 2))
         secs = []
         for _ in range(SCAN_REPS):
             t0 = time.perf_counter()
-            one_pass()
-            secs.append(round(time.perf_counter() - t0, 3))
+            region(k)
+            secs.append(round((time.perf_counter() - t0) / k, 3))
         return statistics.median(secs), secs
 
     # pre-maintenance scan
     total_bytes = sum(e.file_size_bytes for e in t.data_entries())
-    scan_sec, scan_secs = timed_scan()
+    scan_sec, scan_secs = timed_scan(SCAN_K_PRE)
 
     # maintenance (timed), then post-maintenance scan; the bucketize rewrite
     # shuffles + rewrites ~the live table, so pre-warm ~2.5x its bytes
@@ -210,7 +234,7 @@ def bench_engine(spark, workdir: str) -> dict:
     optimize_table(spark, t, mode="full", retain_last=1, target_bytes=COMPACT_TARGET)
     maint_sec = time.perf_counter() - t0
     post_bytes = sum(e.file_size_bytes for e in t.data_entries())
-    post_scan_sec, post_scan_secs = timed_scan()
+    post_scan_sec, post_scan_secs = timed_scan(SCAN_K_POST)
 
     # post-maintenance MERGE on the bucketized layout: a narrow CDC batch
     # (updates confined to 2 of the KEY_BUCKETS key buckets + brand-new
@@ -271,10 +295,14 @@ def bench_engine(spark, workdir: str) -> dict:
         "merge_step_metrics": merge_metrics[-1],
         "scan_sec": round(scan_sec, 3),
         "scan_secs": scan_secs,
+        "scan_k": SCAN_K_PRE,
+        "scan_region_sec": round(scan_sec * SCAN_K_PRE, 3),
         "scan_gbps": round(total_bytes / scan_sec / 1e9, 4),
         "maintain_sec": round(maint_sec, 3),
         "post_scan_sec": round(post_scan_sec, 3),
         "post_scan_secs": post_scan_secs,
+        "post_scan_k": SCAN_K_POST,
+        "post_scan_region_sec": round(post_scan_sec * SCAN_K_POST, 3),
         "maintained_scan_gbps": round(post_bytes / post_scan_sec / 1e9, 4),
         "table_bytes": total_bytes,
         "post_table_bytes": post_bytes,
@@ -341,30 +369,45 @@ def io_ceiling_probe(cores: list[int]) -> dict[int, dict[str, float]]:
 
 def scaling_report() -> None:
     """Run the engine bench at each core count in $SPARK_GRAFT_SCALE
-    (default "2,8,32"); grade every (N, 4N) pair present; write
-    BENCH/BASELINE.md with medians, all samples, and the raw-CPU ceiling."""
-    cores = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE", "2,8,32").split(",")]
+    (default "8,32" — the north rule's N and 4N, per the sandbox protocol),
+    repeated $SPARK_GRAFT_SCALE_REPS times (default 2: the gate requires the
+    result REPRODUCED, not a one-off); grade every (N, 4N) pair present in
+    every repetition; write BENCH/BASELINE.md with medians, all samples, and
+    the raw-CPU + IO ceilings."""
+    cores = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE", "8,32").split(",")]
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     rows = os.environ.get("MOONLINK_SCALE_ROWS", "120000")
     cdc = os.environ.get("MOONLINK_SCALE_CDC", "60000")
+    # k sized so each timed scan region is >= 60s at local[32]:
+    # pre table ~4 GB (single pass ~7s at 32 cores) -> k=9;
+    # post table ~1.9 GB (single pass ~2s) -> k=32
+    k_pre = os.environ.get("MOONLINK_SCAN_K_PRE", "9")
+    k_post = os.environ.get("MOONLINK_SCAN_K_POST", "32")
 
     hw = hw_probe(cores)
     io = io_ceiling_probe(cores)
 
-    results = {}
-    for cpus in cores:
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=str(cpus),
-            MOONLINK_BENCH_ROWS=rows,
-            MOONLINK_BENCH_CDC=cdc,
-            MOONLINK_BENCH_BATCHES="3",
-            MOONLINK_BENCH_SCAN_REPS="5",
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--engine-only"],
-            env=env, capture_output=True, text=True, check=True,
-        )
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    runs: list[dict[int, dict]] = []
+    for rep in range(reps):
+        results = {}
+        for cpus in cores:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cpus),
+                MOONLINK_BENCH_ROWS=rows,
+                MOONLINK_BENCH_CDC=cdc,
+                MOONLINK_BENCH_BATCHES="3",
+                MOONLINK_BENCH_SCAN_REPS="2",
+                MOONLINK_SCAN_K_PRE=k_pre,
+                MOONLINK_SCAN_K_POST=k_post,
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--engine-only"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        runs.append(results)
+    results = runs[0]
 
     pairs = [(a, b) for a in cores for b in cores if b == 4 * a]
 
@@ -380,9 +423,15 @@ def scaling_report() -> None:
         "compaction target, scan split size) is FIXED across core counts, so",
         "every level does byte-identical work; only parallelism varies.",
         "All timed metrics are MEDIANS (merge: median over 3 batches; scans:",
-        "median of 5 reps). No best-of-repeat anywhere.",
+        "median over reps of a k-replicated single-job region sized >= 60s",
+        "at local[32], so fixed per-job overhead cannot masquerade as poor",
+        "scaling). No best-of-repeat anywhere. The WHOLE experiment is",
+        f"repeated {len(runs)}x end-to-end (fresh tables, fresh JVMs) —",
+        "every graded pair appears once per repetition below.",
         "",
-        f"Workload: rows={rows}, cdc={cdc} x3 batches. Core counts: {cores}.",
+        f"Workload: rows={rows}, cdc={cdc} x3 batches; scan regions",
+        f"k_pre={k_pre} x ~4 GB, k_post={k_post} x ~1.9 GB.",
+        f"Core counts: {cores} (N and 4N per the sandbox protocol).",
         "",
         "## Raw-CPU ceiling (no Spark)",
         "",
@@ -416,21 +465,24 @@ def scaling_report() -> None:
         lines.append(
             f"| {c} | {io[c]['read_gbps']} | {io[c]['write_gbps']} | {e} |"
         )
-    lines += [
-        "",
-        "## Engine scaling",
-        "",
-        "| metric | " + " | ".join(f"local[{c}]" for c in cores) + " |",
-        "|---|" + "---|" * len(cores),
-    ]
-    for m, label in [
-        ("merge_rows_per_sec", "MERGE rows/sec (median of 3)"),
-        ("maintained_scan_gbps", "post-maintenance scan GB/s (median of 5)"),
-        ("scan_gbps", "pre-maintenance scan GB/s (median of 5)"),
-        ("post_merge_rows_per_sec", "post-maintenance narrow-MERGE rows/sec"),
-    ]:
-        vals = " | ".join(str(results[c]["engine"].get(m, "-")) for c in cores)
-        lines.append(f"| {label} | {vals} |")
+    for ri, rr in enumerate(runs):
+        lines += [
+            "",
+            f"## Engine scaling — run {ri + 1} of {len(runs)}",
+            "",
+            "| metric | " + " | ".join(f"local[{c}]" for c in cores) + " |",
+            "|---|" + "---|" * len(cores),
+        ]
+        for m, label in [
+            ("merge_rows_per_sec", "MERGE rows/sec (median of 3)"),
+            ("maintained_scan_gbps", "post-maintenance scan GB/s"),
+            ("scan_gbps", "pre-maintenance scan GB/s"),
+            ("post_scan_region_sec", "post-scan timed region (sec/rep)"),
+            ("scan_region_sec", "pre-scan timed region (sec/rep)"),
+            ("post_merge_rows_per_sec", "post-maintenance narrow-MERGE rows/sec"),
+        ]:
+            vals = " | ".join(str(rr[c]["engine"].get(m, "-")) for c in cores)
+            lines.append(f"| {label} | {vals} |")
     pm = results[cores[-1]]["engine"].get("post_merge_metrics") or {}
     if pm:
         lines += [
@@ -450,35 +502,36 @@ def scaling_report() -> None:
         ]
     lines += ["", "## N -> 4N efficiency (target >= 0.8)", ""]
     lines.append(
-        "| pair | MERGE eff (raw) | post-scan eff (raw) | pre-scan eff (raw) "
+        "| run | pair | MERGE eff (raw) | post-scan eff (raw) | pre-scan eff (raw) "
         "| CPU ceiling | IO-read ceiling | IO-write ceiling "
         "| MERGE eff (vs write ceiling) | post-scan eff (vs read ceiling) |"
     )
-    lines.append("|---|---|---|---|---|---|---|---|---|")
+    lines.append("|---|---|---|---|---|---|---|---|---|---|")
     graded = {}
-    for a, b in pairs:
-        lo, hi = results[a]["engine"], results[b]["engine"]
-        me = eff(lo, hi, "merge_rows_per_sec")
-        pe = eff(lo, hi, "maintained_scan_gbps")
-        se = eff(lo, hi, "scan_gbps")
-        hw_e = round(hw[b] / hw[a] / 4.0, 3)
-        ior = round(io[b]["read_gbps"] / io[a]["read_gbps"] / 4.0, 3)
-        iow = round(io[b]["write_gbps"] / io[a]["write_gbps"] / 4.0, 3)
-        # normalized: engine N->4N speedup relative to the N->4N speedup the
-        # relevant hardware ceiling itself achieves (merge time is dominated
-        # by the insert flush -> write ceiling; scans are alloc-heavy
-        # columnar reads -> read ceiling)
-        me_n = round(me / max(iow, 1e-9), 3)
-        pe_n = round(pe / max(ior, 1e-9), 3)
-        graded[f"{a}->{b}"] = {
-            "merge_eff": me, "post_scan_eff": pe, "pre_scan_eff": se,
-            "hw_ceiling": hw_e, "io_read_ceiling": ior, "io_write_ceiling": iow,
-            "merge_eff_normalized": me_n, "post_scan_eff_normalized": pe_n,
-        }
-        lines.append(
-            f"| {a} -> {b} | {me} | {pe} | {se} | {hw_e} | {ior} | {iow} "
-            f"| {me_n} | {pe_n} |"
-        )
+    for ri, rr in enumerate(runs):
+        for a, b in pairs:
+            lo, hi = rr[a]["engine"], rr[b]["engine"]
+            me = eff(lo, hi, "merge_rows_per_sec")
+            pe = eff(lo, hi, "maintained_scan_gbps")
+            se = eff(lo, hi, "scan_gbps")
+            hw_e = round(hw[b] / hw[a] / 4.0, 3)
+            ior = round(io[b]["read_gbps"] / io[a]["read_gbps"] / 4.0, 3)
+            iow = round(io[b]["write_gbps"] / io[a]["write_gbps"] / 4.0, 3)
+            # normalized: engine N->4N speedup relative to the N->4N speedup
+            # the relevant hardware ceiling itself achieves (merge time is
+            # dominated by the insert flush -> write ceiling; scans are
+            # alloc-heavy columnar reads -> read ceiling)
+            me_n = round(me / max(iow, 1e-9), 3)
+            pe_n = round(pe / max(ior, 1e-9), 3)
+            graded[f"run{ri + 1}:{a}->{b}"] = {
+                "merge_eff": me, "post_scan_eff": pe, "pre_scan_eff": se,
+                "hw_ceiling": hw_e, "io_read_ceiling": ior, "io_write_ceiling": iow,
+                "merge_eff_normalized": me_n, "post_scan_eff_normalized": pe_n,
+            }
+            lines.append(
+                f"| {ri + 1} | {a} -> {b} | {me} | {pe} | {se} | {hw_e} | {ior} | {iow} "
+                f"| {me_n} | {pe_n} |"
+            )
     lines += [
         "",
         "Reading the table: the three ceiling columns are what a PERFECTLY",
@@ -498,10 +551,10 @@ def scaling_report() -> None:
         "cold passes burn 20-30k faults / 20+ CPU-s system, warm passes <2k;",
         "the same signature reproduces with no Spark in the loop (io_probe).",
         "",
-        "Full engine JSON:",
+        "Full engine JSON (all runs):",
         "",
         "```json",
-        json.dumps(results, indent=2),
+        json.dumps({f"run{i + 1}": r for i, r in enumerate(runs)}, indent=2),
         "```",
         "",
     ]

@@ -140,3 +140,57 @@ def test_cas_primitive_semantics():
     assert acc.read_text("mem://race/obj") == "first"
     acc.write_atomic("mem://race/obj", "third")  # unconditional overwrite
     assert acc.read_text("mem://race/obj") == "third"
+
+
+def test_mem_metadata_local_data_full_lifecycle(spark, tmp_path, loc):
+    """create -> append (REAL parquet) -> MERGE -> full maintenance -> scan /
+    time-travel with metadata on the object store and row data on a Spark-
+    readable filesystem — the documented production split (table/io.py: Spark
+    and pyarrow speak object-store URIs natively for ROW data; the engine's
+    own metadata protocol goes through the accessor). Verifies the data
+    plane (footer stats, listing, scan, compaction) never assumes metadata
+    and data share a root."""
+    from moonlink_spark.cdc import CdcScheduleGenerator, ReferenceTable, to_spark
+    from moonlink_spark.operators.maintenance import optimize_table
+    from moonlink_spark.operators.merge import merge_cdc_batch
+    from moonlink_spark.schema import IMAGES_SCHEMA
+    from moonlink_spark.table.catalog import load_table
+    from moonlink_spark.table.scan import scan, scan_at_lsn
+    from moonlink_spark.table.writer import write_data_files
+
+    t = create_table(loc, IMAGES_SCHEMA, data_location=str(tmp_path / "rows"))
+    gen = CdcScheduleGenerator(seed=7)
+    ref = ReferenceTable()
+
+    b0 = gen.next_batch(200, 0, 0)
+    ref.apply(b0)
+    entries = write_data_files(
+        spark, to_spark(spark, b0).drop("op", "lsn"), t.new_data_dir()
+    )
+    assert entries and all(not e.path.startswith("mem://") for e in entries)
+    assert all(e.stats.get("image_id") for e in entries)  # footer stats ran
+    t.commit("append", added=entries, lsn=gen.commit_lsn)
+    pre_lsn = t.flush_lsn
+
+    b1 = gen.next_batch(50, 100, 30)
+    ref.apply(b1)
+    merge_cdc_batch(spark, t, to_spark(spark, b1), gen.commit_lsn)
+
+    optimize_table(spark, t, mode="full", retain_last=4)
+
+    got = scan(spark, t).select("image_id", "caption").toPandas()
+    exp = ref.to_pandas()
+    assert sorted(got["image_id"]) == sorted(exp["image_id"])
+    assert dict(zip(got["image_id"], got["caption"])) == dict(
+        zip(exp["image_id"], exp["caption"])
+    )
+
+    # time-travel to the pre-merge snapshot still resolves (metadata on
+    # mem://, manifests reused by reference)
+    old = scan_at_lsn(spark, t, pre_lsn)
+    assert old.count() == 200
+
+    # a fresh loader sees the same table through the hint object
+    t2 = load_table(loc)
+    assert t2.flush_lsn == t.flush_lsn
+    assert scan(spark, t2).count() == len(exp)
