@@ -586,7 +586,7 @@ def q_engine_evolve_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAS it, drop another; old files read NULL for the new column."""
     import tempfile
 
-    from pyspark.sql.types import IntegerType, StructField
+    from pyspark.sql.types import IntegerType, StringType, StructField
 
     from moonlink_spark.operators.evolve import add_columns, drop_columns
     from moonlink_spark.operators.ingest import add_files
@@ -615,6 +615,18 @@ def q_engine_evolve_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext_dir = f"{wd}/external"
     ext.write.parquet(ext_dir)
     add_files(spark, t, list_parquet(ext_dir), lsn=2)
+
+    # field-id no-resurrection (O18 the moonlink way, PARQUET:field_id —
+    # bench_write.rs:33-44): full maintenance rewrites every live file with
+    # stamped ids (foreign ingested parquet included), then caption is
+    # dropped and RE-ADDED under the same name. The re-added column has a
+    # fresh id, so files still physically holding old caption values must
+    # read NULL — identity resolution, not name matching.
+    from moonlink_spark.operators.maintenance import optimize_table
+
+    optimize_table(spark, t, mode="full", retain_last=4)
+    drop_columns(t, ["caption"])
+    add_columns(t, [StructField("caption", StringType(), True)])
 
     return scan(spark, t).select("image_id", "caption", "rating")
 
@@ -961,8 +973,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE k % 10 < 3 AND k % 7 <> 2
         """,
         "engine_evolve_scan": _LIFECYCLE_BASE_SQL + """
+            -- caption was dropped and re-added under a NEW field id after a
+            -- full rewrite: every file's old caption values must read NULL
             SELECT CAST(k AS VARCHAR) AS image_id,
-                   c AS caption,
+                   CAST(NULL AS VARCHAR) AS caption,
                    CASE WHEN k % 10 = 9 THEN CAST(k % 5 AS INTEGER)
                         ELSE NULL END AS rating
             FROM base

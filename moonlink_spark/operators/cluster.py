@@ -114,7 +114,9 @@ def cluster(
             .sortWithinPartitions(CODE_COL)
             .drop(CODE_COL)
         )
-        return write_data_files(spark, arranged, table.new_data_dir())
+        return write_data_files(
+            spark, arranged, table.new_data_dir(), field_id_schema=table.schema
+        )
 
     if ckpt:
         new_entries = ckpt.run(

@@ -262,6 +262,9 @@ def compact(
         bin_entries = bins[i]
         out_dir = os.path.join(out_root, f"bin-{i:05d}")
         live = scan(spark, table, data_entries=bin_entries)
+        from moonlink_spark.table.fieldids import stamp_field_ids
+
+        live = stamp_field_ids(live, table.schema)
         # one streaming-concat task per output file, moonlink compactor-style
         live.coalesce(1).write.mode("overwrite").parquet(out_dir)
         out = [
@@ -318,6 +321,7 @@ def compact(
             buckets=buckets,
             max_records_per_file=max(256, target_bytes // row_bytes),
             mode="overwrite",
+            field_id_schema=table.schema,
         )
         return [e for e in entries if e.record_count > 0]
 

@@ -15,12 +15,14 @@ Spark-first semantics:
 - **drop**: column removed from the schema; scans project it away (Parquet
   column pruning means the bytes are never read). Files keep the physical
   column until the next compaction/cluster rewrite naturally sheds it.
-- A dropped column name is *retired*: re-adding it would resurrect old
-  physical values because Parquet resolves by name (Iceberg avoids this with
-  field ids; the retired-name registry is the honest single-engine analog —
-  at 10^12 scale you'd carry field ids in Parquet metadata exactly like
-  moonlink does via "PARQUET:field_id", reference:
-  src/moonlink/benches/bench_write.rs:33-44).
+- **drop-then-re-add**: tables carry parquet field ids (fieldids.py, the
+  "PARQUET:field_id" discipline of the reference,
+  src/moonlink/benches/bench_write.rs:33-44), so a re-added name gets a NEW
+  id and old files read NULL for it — identity resolution, no resurrection.
+  The only guard left: while any LIVE data file lacks footer ids (foreign
+  bulk-ingested parquet), such a file can only resolve by name, so re-adding
+  a retired name is refused until compaction rewrites it through the
+  stamping writer. Legacy id-less tables keep the retired-name registry.
 """
 
 from __future__ import annotations
@@ -41,28 +43,68 @@ def _retired(table: Table) -> set[str]:
 
 
 def add_columns(table: Table, new_fields: list[StructField]) -> Snapshot:
+    from moonlink_spark.table.catalog import LAST_FIELD_ID_PROP
+    from moonlink_spark.table.fieldids import (
+        NO_FIELD_IDS_STAT,
+        FIELD_ID_KEY,
+        has_field_ids,
+        next_field_id,
+    )
+
     table.refresh()
     schema = table.schema
     existing = {f.name for f in schema.fields}
     retired = _retired(table)
+    id_table = has_field_ids(schema)
+    idless_live = id_table and any(
+        e.stats.get(NO_FIELD_IDS_STAT) for e in table.data_entries()
+    )
     for f in new_fields:
         if f.name in existing:
             raise ValueError(f"column already exists: {f.name}")
         if f.name in retired:
-            raise ValueError(
-                f"column name {f.name!r} was dropped earlier; re-adding would "
-                "resurrect old file data (no field ids) — pick a new name or "
-                "compact first"
-            )
+            if not id_table:
+                raise ValueError(
+                    f"column name {f.name!r} was dropped earlier; re-adding would "
+                    "resurrect old file data (no field ids) — pick a new name or "
+                    "compact first"
+                )
+            if idless_live:
+                raise ValueError(
+                    f"column name {f.name!r} was dropped earlier and live data "
+                    "files without parquet field ids remain (name-resolved): "
+                    "re-adding would resurrect their old values — run a full "
+                    "compaction first so every file carries field ids"
+                )
         if not f.nullable:
             raise ValueError(
                 f"added column {f.name} must be nullable (existing files have no values)"
             )
+
+    props = {}
+    if id_table:
+        # new columns get FRESH ids above the monotone high-water mark, so a
+        # re-added name never aliases a dropped column's id
+        hwm = int(table.md.properties.get(LAST_FIELD_ID_PROP, "0"))
+        stamped = []
+        for f in new_fields:
+            fid = next_field_id(schema, floor=hwm)
+            hwm = fid
+            md = dict(f.metadata or {})
+            md[FIELD_ID_KEY] = fid
+            stamped.append(StructField(f.name, f.dataType, f.nullable, md))
+        new_fields = stamped
+        props[LAST_FIELD_ID_PROP] = str(hwm)
+        readded = retired & {f.name for f in new_fields}
+        if readded:
+            props[RETIRED_PROP] = json.dumps(sorted(retired - readded))
+
     new_schema = StructType(schema.fields + list(new_fields))
     return table.commit(
         "add-columns",
         schema=new_schema,
         summary_extra={"added-columns": [f.name for f in new_fields]},
+        properties=props or None,
     )
 
 

@@ -211,7 +211,11 @@ def merge_cdc_batch(
         # cheap because they are few and the probe is column-pruned.
         rpf = max(256, FLUSH_TARGET_BYTES // _estimate_row_bytes(table, avg_row_bytes))
         entries = write_data_files(
-            spark, ups, table.new_data_dir(), max_records_per_file=rpf
+            spark,
+            ups,
+            table.new_data_dir(),
+            max_records_per_file=rpf,
+            field_id_schema=table.schema,
         )
         return [e for e in entries if e.record_count > 0]
 

@@ -33,6 +33,8 @@ from moonlink_spark.table.format import (
 )
 from moonlink_spark.table.io import CasConflict, accessor_for
 
+LAST_FIELD_ID_PROP = "moonlink.last-field-id"
+
 
 class CommitConflict(Exception):
     """Another writer committed the same version first."""
@@ -248,6 +250,15 @@ def create_table(
     dacc = accessor_for(data_root)
     for sub in ("data", "deletes"):
         dacc.mkdirs(os.path.join(data_root, sub))
+    # every new table gets parquet field ids (identity-based evolution,
+    # fieldids.py — the PARQUET:field_id discipline of the reference,
+    # bench_write.rs:33-44); the high-water property guarantees dropped
+    # columns' ids are never reused
+    from moonlink_spark.table.fieldids import assign_field_ids, next_field_id
+
+    schema = assign_field_ids(schema)
+    props = dict(properties or {})
+    props.setdefault(LAST_FIELD_ID_PROP, str(next_field_id(schema) - 1))
     md = TableMetadata(
         table_uuid=uuid.uuid4().hex,
         location=location,
@@ -257,7 +268,7 @@ def create_table(
         last_snapshot_id=0,
         current_snapshot_id=None,
         snapshots=[],
-        properties=properties or {},
+        properties=props,
         data_location=data_location,
     )
     _write_metadata_cas(md)

@@ -88,15 +88,43 @@ def scan(
         )
         return spark.createDataFrame([], empty_schema)
 
-    df = (
-        spark.read.schema(schema)
-        .parquet(*[e.path for e in entries])
-        .select(
-            *out_cols,
-            _norm_path(F.col("_metadata.file_path")).alias(FILE_COL),
-            F.col("_metadata.row_index").alias(POS_COL),
+    def _read(sch, ents):
+        return (
+            spark.read.schema(sch)
+            .parquet(*[e.path for e in ents])
+            .select(
+                *out_cols,
+                _norm_path(F.col("_metadata.file_path")).alias(FILE_COL),
+                F.col("_metadata.row_index").alias(POS_COL),
+            )
         )
+
+    from moonlink_spark.table.fieldids import (
+        NO_FIELD_IDS_STAT,
+        has_field_ids,
+        strip_field_ids,
     )
+
+    if has_field_ids(schema):
+        # identity-based column resolution (fieldids.py): files whose
+        # footers carry PARQUET:field_id resolve by id — a column dropped
+        # and re-added under the same name reads NULL from old files, never
+        # resurrected values. Id-less files (bulk-ingested foreign parquet,
+        # pre-field-id history) take a separate name-resolved read; the
+        # union keeps mixed histories correct with ignoreMissing left false.
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        with_ids = [e for e in entries if not e.stats.get(NO_FIELD_IDS_STAT)]
+        without_ids = [e for e in entries if e.stats.get(NO_FIELD_IDS_STAT)]
+        parts = []
+        if with_ids:
+            parts.append(_read(schema, with_ids))
+        if without_ids:
+            parts.append(_read(strip_field_ids(schema), without_ids))
+        df = parts[0]
+        for part in parts[1:]:
+            df = df.unionByName(part)
+    else:
+        df = _read(schema, entries)
 
     if delete_entries:
         from moonlink_spark.table.dv import read_delete_positions

@@ -64,10 +64,17 @@ def _open_footer(p: str):
 
 def _footer_stats(paths: pd.Series) -> pd.DataFrame:
     rows = []
+    from moonlink_spark.table.fieldids import NO_FIELD_IDS_STAT, footer_has_field_ids
+
     for p in paths:
         pf, fsize = _open_footer(p)
         md = pf.metadata
         agg: dict[str, dict] = {}
+        # identity resolution marker: a file whose footer carries no
+        # PARQUET:field_id can only resolve columns by NAME — scan puts
+        # it on the name-resolved branch (fieldids.py)
+        if not footer_has_field_ids(pf.schema_arrow):
+            agg[NO_FIELD_IDS_STAT] = True
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):

@@ -76,6 +76,7 @@ def write_bucketed_data_files(
     buckets: int,
     max_records_per_file: int | None = None,
     mode: str = "append",
+    field_id_schema=None,
 ) -> list[FileEntry]:
     """Write ``df`` hash-bucketed by ``key``: one directory per bucket, each
     file bucket-pure, and the bucket id recorded in its manifest entry so
@@ -86,6 +87,10 @@ def write_bucketed_data_files(
     cluster raises); ``partitionBy`` keeps files bucket-pure even when AQE
     coalesces partitions.
     """
+    if field_id_schema is not None:
+        from moonlink_spark.table.fieldids import stamp_field_ids
+
+        df = stamp_field_ids(df, field_id_schema)
     w = df.withColumn(_BUCKET_COL, bucket_id(F.col(key), buckets)).repartition(
         buckets, F.col(_BUCKET_COL)
     )
@@ -113,6 +118,7 @@ def write_data_files(
     range_cols: list | None = None,
     sort_cols: list | None = None,
     max_records_per_file: int | None = None,
+    field_id_schema=None,
 ) -> list[FileEntry]:
     """Write ``df`` as Parquet under ``out_dir``; return manifest entries.
 
@@ -120,7 +126,15 @@ def write_data_files(
       with tight per-column min/max (the Z-order/compaction path).
     - ``max_records_per_file``: split oversize partitions without a shuffle
       (the MERGE/flush path, where batch size is known approximately).
+    - ``field_id_schema``: a table schema carrying parquet field ids —
+      stamped onto the outgoing columns so footers persist the ids
+      (identity-based evolution, fieldids.py). Files written without it
+      still scan correctly via the name-resolved branch.
     """
+    if field_id_schema is not None:
+        from moonlink_spark.table.fieldids import stamp_field_ids
+
+        df = stamp_field_ids(df, field_id_schema)
     w = df
     if num_files is not None and range_cols:
         w = w.repartitionByRange(num_files, *range_cols)

@@ -42,9 +42,10 @@ def test_drop_column_projects_away(spark, table):
     df = scan(spark, table)
     assert "caption" not in df.columns
     assert df.count() == 30
-    # retired name cannot be re-added (would resurrect old physical values)
-    with pytest.raises(ValueError, match="resurrect"):
-        add_columns(table, [StructField("caption", StringType(), True)])
+    # re-adding the name is SAFE on field-id tables (new id, old files read
+    # NULL — see test_fieldids.py for the full matrix)
+    add_columns(table, [StructField("caption", StringType(), True)])
+    assert scan(spark, table).filter(F.col("caption").isNotNull()).count() == 0
     # merge key is protected
     with pytest.raises(ValueError, match="merge key"):
         drop_columns(table, ["image_id"])
