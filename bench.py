@@ -605,9 +605,180 @@ def scaling_report() -> None:
         f.write("\n".join(lines))
     print(json.dumps({"scaling": graded}))
 
+def decode_scaling_report() -> None:
+    """CPU-bound engine-scaling addendum: the decode-verify scan.
+
+    The integrity-audit (sha2) leg turned out to ride the same host memory
+    wall as the plain scan (~1.6 -> 1.9 GB/s from 8 -> 32 cores while the
+    no-Spark CPU probe scaled 3.3x): sha2 at ~200 MB/s/core x 32 cores wants
+    ~6 GB/s of table bytes, above what this VM's memory path delivers. The
+    workload class that CAN express N->4N scaling here must be < ~30 MB/s
+    per core — and the engine has a real one: the north rule's own
+    correctness pass, DECODE-VERIFY (decode every image via the engine's
+    numpy codec, checksum the pixels; functions/imagecodec.py). This mode
+    times exactly that scan at each core count in $SPARK_GRAFT_SCALE and
+    APPENDS the results to BENCH/BASELINE.md.
+    """
+    cores = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE", "8,32").split(",")]
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    rows = int(os.environ.get("MOONLINK_DECODE_ROWS", "20000"))
+    k = int(os.environ.get("MOONLINK_DECODE_K", "8"))
+
+    runs = []
+    for rep in range(reps):
+        hw = hw_probe(cores)
+        per_core = {}
+        for cpus in cores:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cpus),
+                MOONLINK_DECODE_ROWS=str(rows),
+                MOONLINK_DECODE_K=str(k),
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--decode-leg"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            per_core[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        runs.append({"hw": hw, "results": per_core})
+
+    pairs = [(a, b) for a in cores for b in cores if b == 4 * a]
+    lines = [
+        "",
+        "## Addendum: decode-verify scan — the CPU-bound scaling leg",
+        "",
+        "The sha2 audit above turned out to ride the same host memory wall",
+        "as the plain scan (absolute GB/s nearly equal at 8 and 32 cores):",
+        "sha2 is too cheap per byte for 32 cores to stay under this VM's",
+        "~2 GB/s effective table bandwidth. The engine's genuinely CPU-dense",
+        "maintenance workload is the north rule's own correctness pass —",
+        "decode every image through the engine codec and checksum the",
+        "pixels (functions/imagecodec.py via mapInPandas, Arrow-batched).",
+        f"Timed region: k={k} replicated scans of a {rows}-row table in one",
+        "job; median of 2 reps after a warmup pass; byte-identical layout",
+        "across core counts; CPU ceiling re-probed per rep.",
+        "",
+        "| rep | pair | decode MB/s at N / 4N | decode eff (raw) "
+        "| CPU ceiling | decode eff (vs CPU ceiling) |",
+        "|---|---|---|---|---|---|",
+    ]
+    graded = {}
+    for ri, run in enumerate(runs):
+        hw, res = run["hw"], run["results"]
+        for a, b in pairs:
+            de = round((res[b]["decode_mbps"] / res[a]["decode_mbps"]) / 4.0, 3)
+            hw_e = round(hw[b] / hw[a] / 4.0, 3)
+            de_n = round(de / max(hw_e, 1e-9), 3)
+            graded[f"rep{ri + 1}:{a}->{b}"] = {
+                "decode_eff": de, "cpu_ceiling": hw_e,
+                "decode_eff_vs_cpu_ceiling": de_n,
+                "mbps": [res[a]["decode_mbps"], res[b]["decode_mbps"]],
+            }
+            lines.append(
+                f"| {ri + 1} | {a} -> {b} "
+                f"| {res[a]['decode_mbps']} / {res[b]['decode_mbps']} "
+                f"| {de} | {hw_e} | {de_n} |"
+            )
+    lines += [
+        "",
+        "Decode-leg JSON:",
+        "",
+        "```json",
+        json.dumps(
+            {f"rep{i + 1}": r for i, r in enumerate(runs)}, indent=2
+        ),
+        "```",
+        "",
+    ]
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({"decode_scaling": graded}))
+
+
+def decode_leg() -> None:
+    """One core count's decode-verify measurement; prints one JSON line."""
+    import pandas as pd
+
+    from moonlink_spark.datagen import generate_images
+    from moonlink_spark.operators.merge import merge_cdc_batch  # noqa: F401 (warm import)
+    from moonlink_spark.schema import IMAGES_SCHEMA
+    from moonlink_spark.session import get_spark
+    from moonlink_spark.table.catalog import create_table
+    from moonlink_spark.table.scan import scan
+    from moonlink_spark.table.writer import write_data_files
+
+    rows = int(os.environ.get("MOONLINK_DECODE_ROWS", "20000"))
+    k = int(os.environ.get("MOONLINK_DECODE_K", "8"))
+    spark = get_spark(cores=CPUS, app_name=f"decode-{CPUS}")
+    spark.conf.set("spark.sql.shuffle.partitions", str(SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(SCAN_SPLIT_BYTES))
+    workdir = tempfile.mkdtemp(prefix="moonlink_decode_")
+    try:
+        t = create_table(os.path.join(workdir, "imgs"), IMAGES_SCHEMA)
+        df = generate_images(spark, rows, partitions=LAYOUT_PARTITIONS)
+        entries = write_data_files(
+            spark, df, t.new_data_dir(),
+            max_records_per_file=LOAD_ROWS_PER_FILE,
+            field_id_schema=t.schema,
+        )
+        t.commit("append", added=entries, lsn=1)
+        total_bytes = sum(e.file_size_bytes for e in entries)
+
+        def run_decode(batches):
+            from moonlink_spark.functions.imagecodec import decode
+
+            for b in batches:
+                acc = 0.0
+                n = 0
+                for data, fmt in zip(b["bytes"], b["fmt"]):
+                    px = decode(bytes(data), fmt)
+                    acc += float(px.sum())
+                    n += 1
+                yield pd.DataFrame({"s": [acc], "n": [n]})
+
+        def region(kk: int) -> None:
+            df = scan(spark, t, columns=["bytes", "fmt"])
+            for _ in range(kk - 1):
+                df = df.unionAll(scan(spark, t, columns=["bytes", "fmt"]))
+            out = df.mapInPandas(run_decode, schema="s double, n long").agg(
+                F_sum_col()
+            ).collect()[0]
+            assert out["n"] == rows * kk, (out["n"], rows, kk)
+
+        from pyspark.sql import functions as F
+
+        def F_sum_col():
+            return F.sum("n").alias("n")
+
+        region(min(k, 2))  # warmup: JIT + python workers + page cache
+        secs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            region(k)
+            secs.append(round((time.perf_counter() - t0) / k, 3))
+        med = statistics.median(secs)
+        print(json.dumps({
+            "cpus": CPUS,
+            "rows": rows,
+            "k": k,
+            "table_mb": round(total_bytes / 1e6, 1),
+            "decode_secs_per_copy": secs,
+            "decode_mbps": round(total_bytes / med / 1e6, 1),
+        }))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         scaling_report()
+        return
+    if "--decode-scaling" in sys.argv:
+        decode_scaling_report()
+        return
+    if "--decode-leg" in sys.argv:
+        decode_leg()
         return
     engine_only = "--engine-only" in sys.argv
     r = run_once(CPUS, engine_only=engine_only)
