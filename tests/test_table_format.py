@@ -26,7 +26,12 @@ def _append_images(spark, table, n, lsn, **kw):
 def test_create_load_roundtrip(tmp_path):
     t = create_table(str(tmp_path / "t"), IMAGES_SCHEMA, {"k": "v"})
     t2 = load_table(str(tmp_path / "t"))
-    assert t2.schema == IMAGES_SCHEMA
+    # create_table stamps parquet field ids (fieldids.py): same names/types,
+    # plus an id on every field
+    from moonlink_spark.table.fieldids import has_field_ids, strip_field_ids
+
+    assert strip_field_ids(t2.schema) == IMAGES_SCHEMA
+    assert has_field_ids(t2.schema)
     assert t2.md.properties["k"] == "v"
     assert t2.md.current_snapshot_id is None
 
