@@ -15,20 +15,23 @@ Scaling evidence (north rule: efficiency >= 0.8 from N to 4N):
     python bench.py --scaling
 
 runs the SAME deterministic job at each core count in $SPARK_GRAFT_SCALE
-(default "2,8,32") and writes BENCH/BASELINE.md. Every data-layout knob is
-fixed independent of the core count (generation partitions, shuffle
-partitions, records-per-file, compaction target), so every core count does
-byte-identical work and only parallelism varies — the local-mode stand-in for
-"same job, N vs 4N executors". Timed metrics are MEDIANS over repeats
-(never best-of). A raw-CPU probe (multiprocessing image encode, no Spark)
-is run alongside to measure the VM's own parallel-scaling ceiling at each
-core count, so engine efficiency can be read against what the hardware
-actually offers.
+(default "8,32" — N and 4N), repeats the whole experiment
+$SPARK_GRAFT_SCALE_REPS times (default 2) with no-Spark CPU/IO ceiling
+probes re-measured inside each rep, and writes BENCH/BASELINE.md. Every
+data-layout knob is fixed independent of the core count, so every core
+count does byte-identical work and only parallelism varies — the local-mode
+stand-in for "same job, N vs 4N executors". Timed metrics are MEDIANS over
+repeats (never best-of); timed scan regions are k-replicated single jobs so
+per-job overhead cannot masquerade as poor scaling. `--decode-scaling`
+appends the CPU-dense decode-verify leg (the north rule's own correctness
+pass) — the one workload class whose N->4N efficiency this VM's memory
+wall does not bound.
 
 Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SF_DIR,
-SPARK_GRAFT_SCALE, MOONLINK_BENCH_ROWS (default 20000), MOONLINK_BENCH_CDC
-(default 10000), MOONLINK_BENCH_BATCHES (default 2), MOONLINK_SCALE_ROWS
-(default 120000), MOONLINK_SCALE_CDC (default 60000).
+SPARK_GRAFT_SCALE, SPARK_GRAFT_SCALE_REPS, MOONLINK_BENCH_ROWS (default
+20000), MOONLINK_BENCH_CDC (default 10000), MOONLINK_BENCH_BATCHES
+(default 2), MOONLINK_SCALE_ROWS (default 120000), MOONLINK_SCALE_CDC
+(default 180000), MOONLINK_SCAN_K_{PRE,POST,CPU}, MOONLINK_DECODE_{ROWS,K}.
 """
 
 from __future__ import annotations
