@@ -267,9 +267,15 @@ def compact(
         live = stamp_field_ids(live, table.schema)
         # one streaming-concat task per output file, moonlink compactor-style
         live.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        from moonlink_spark.table.fieldids import schema_field_id_map
+
         out = [
             e
-            for e in collect_file_entries(spark, list_parquet(out_dir))
+            for e in collect_file_entries(
+                spark,
+                list_parquet(out_dir),
+                expected_field_ids=schema_field_id_map(table.schema),
+            )
             if e.record_count > 0
         ]
         # bins never mix buckets (plan_bins) — outputs inherit the bin's bucket

@@ -108,7 +108,15 @@ def add_files(
         # wrong type or extra column fails here, not at scan time
         for sample in _distinct_schema_samples(spark, paths):
             _check_schema(sample, table.schema)
-    entries = collect_file_entries(spark, paths)
+    # Footer field ids must AGREE with the table's name->id map to be
+    # id-resolvable; a foreign file carrying its own ids is forced onto the
+    # name-resolved scan branch (names/types were validated above), never
+    # id-scanned against the wrong ids (which reads all-NULL silently).
+    from moonlink_spark.table.fieldids import schema_field_id_map
+
+    entries = collect_file_entries(
+        spark, paths, expected_field_ids=schema_field_id_map(table.schema)
+    )
     snap = table.commit(
         "add-files",
         added=entries,

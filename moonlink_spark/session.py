@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.session.timeZone", "UTC")
+        # field-id column resolution is ON for the whole session (documented):
+        # engine tables stamp parquet.field.id on every column (fieldids.py)
+        # and scans resolve by id. Set here, at construction, so scan() never
+        # has to mutate a running session's conf mid-query.
+        .config("spark.sql.parquet.fieldId.read.enabled", "true")
         # modest heap: this sandbox VM materializes guest pages lazily and
         # slowly (~10-100 MB/s first-touch), so heap growth mid-job stalls
         # executors in kernel time; 12g is ample for local-mode jobs here.

@@ -105,11 +105,33 @@ def stamp_field_ids(df: DataFrame, schema: StructType) -> DataFrame:
     return df.select(*cols)
 
 
-def footer_has_field_ids(arrow_schema) -> bool:
-    """True when every top-level column of a parquet footer's Arrow schema
-    carries a PARQUET:field_id (pyarrow surfaces it as field metadata)."""
+def footer_field_id_map(arrow_schema) -> dict[str, int] | None:
+    """name -> PARQUET:field_id for every top-level column of a parquet
+    footer's Arrow schema (pyarrow surfaces it as field metadata), or None
+    when ANY column lacks an id (partial stamping = id-less file)."""
+    out: dict[str, int] = {}
     for i in range(len(arrow_schema.names)):
-        md = arrow_schema.field(i).metadata or {}
-        if ARROW_FIELD_ID_KEY not in md:
-            return False
-    return True
+        f = arrow_schema.field(i)
+        md = f.metadata or {}
+        v = md.get(ARROW_FIELD_ID_KEY)
+        if v is None:
+            return None
+        out[f.name] = int(v)
+    return out
+
+
+def footer_has_field_ids(arrow_schema) -> bool:
+    """True when every top-level column carries a PARQUET:field_id."""
+    return footer_field_id_map(arrow_schema) is not None
+
+
+def schema_field_id_map(schema: StructType) -> dict[str, int] | None:
+    """name -> field id for a table schema, or None when the schema carries
+    no (complete) ids. This is the AGREEMENT reference for footer ids: a
+    file is id-resolvable only when its footer ids match this map exactly —
+    a foreign file carrying its OWN ids (exported from another Iceberg/
+    moonlink table) would otherwise be id-scanned against the wrong ids and
+    silently read every column as NULL (or permute values)."""
+    if not has_field_ids(schema):
+        return None
+    return {f.name: field_id(f) for f in schema.fields}

@@ -112,7 +112,11 @@ def scan(
         # resurrected values. Id-less files (bulk-ingested foreign parquet,
         # pre-field-id history) take a separate name-resolved read; the
         # union keeps mixed histories correct with ignoreMissing left false.
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        # get_spark() enables id-reads at session construction; for foreign
+        # sessions it is enabled HERE once (required for correctness — the
+        # one documented conf this engine needs) rather than toggled per scan.
+        if spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false") != "true":
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         with_ids = [e for e in entries if not e.stats.get(NO_FIELD_IDS_STAT)]
         without_ids = [e for e in entries if e.stats.get(NO_FIELD_IDS_STAT)]
         parts = []

@@ -62,18 +62,29 @@ def _open_footer(p: str):
     return pq.ParquetFile(local), os.path.getsize(local)
 
 
-def _footer_stats(paths: pd.Series) -> pd.DataFrame:
+def _footer_stats(
+    paths: pd.Series, expected_field_ids: dict[str, int] | None = None
+) -> pd.DataFrame:
     rows = []
-    from moonlink_spark.table.fieldids import NO_FIELD_IDS_STAT, footer_has_field_ids
+    from moonlink_spark.table.fieldids import NO_FIELD_IDS_STAT, footer_field_id_map
 
     for p in paths:
         pf, fsize = _open_footer(p)
         md = pf.metadata
         agg: dict[str, dict] = {}
-        # identity resolution marker: a file whose footer carries no
-        # PARQUET:field_id can only resolve columns by NAME — scan puts
-        # it on the name-resolved branch (fieldids.py)
-        if not footer_has_field_ids(pf.schema_arrow):
+        # identity resolution marker: a file is id-resolvable ONLY when its
+        # footer carries a PARQUET:field_id on every column AND those ids
+        # agree with the table's name->id map — a foreign file with its OWN
+        # ids (exported from another Iceberg/moonlink table) must take the
+        # name-resolved branch or Spark's strict id matching silently reads
+        # every column as NULL. Everything else (no ids, partial ids,
+        # mismatched/permuted ids) scans by NAME (fieldids.py), which
+        # add_files already validated for names/types.
+        fmap = footer_field_id_map(pf.schema_arrow)
+        if fmap is None or (
+            expected_field_ids is not None
+            and any(expected_field_ids.get(n) != i for n, i in fmap.items())
+        ):
             agg[NO_FIELD_IDS_STAT] = True
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
@@ -106,23 +117,30 @@ def _footer_stats(paths: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["path", "record_count", "file_size_bytes", "stats_json"])
 
 
-def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for b in batches:
-        yield _footer_stats(b["path"])
-
-
 def collect_file_entries(
-    spark: SparkSession, paths: list[str], content: str = DATA
+    spark: SparkSession,
+    paths: list[str],
+    content: str = DATA,
+    expected_field_ids: dict[str, int] | None = None,
 ) -> list[FileEntry]:
-    """Footer-scan `paths` in executors, return manifest entries."""
+    """Footer-scan `paths` in executors, return manifest entries.
+
+    ``expected_field_ids`` (the table's name->id map) gates id-resolution:
+    footer ids must match it exactly or the file is marked name-resolved.
+    """
     if not paths:
         return []
+
+    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _footer_stats(b["path"], expected_field_ids)
+
     # Footers are metadata-scale (~ms each): driver-side pyarrow beats a
     # Spark job by orders of magnitude until the file LIST is itself large;
     # beyond the threshold the job fans out so a million-file commit never
     # loops on the driver.
     if len(paths) <= 512:
-        pdf = _footer_stats(pd.Series(paths))
+        pdf = _footer_stats(pd.Series(paths), expected_field_ids)
     else:
         df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
             min(len(paths) // 32, 256)

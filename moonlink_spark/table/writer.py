@@ -87,10 +87,12 @@ def write_bucketed_data_files(
     cluster raises); ``partitionBy`` keeps files bucket-pure even when AQE
     coalesces partitions.
     """
+    expected_ids = None
     if field_id_schema is not None:
-        from moonlink_spark.table.fieldids import stamp_field_ids
+        from moonlink_spark.table.fieldids import schema_field_id_map, stamp_field_ids
 
         df = stamp_field_ids(df, field_id_schema)
+        expected_ids = schema_field_id_map(field_id_schema)
     w = df.withColumn(_BUCKET_COL, bucket_id(F.col(key), buckets)).repartition(
         buckets, F.col(_BUCKET_COL)
     )
@@ -99,7 +101,9 @@ def write_bucketed_data_files(
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     writer.save(out_dir)
     paths = [p for p in list_parquet(out_dir) if f"{_BUCKET_COL}=" in p]
-    entries = collect_file_entries(spark, paths, content=DATA)
+    entries = collect_file_entries(
+        spark, paths, content=DATA, expected_field_ids=expected_ids
+    )
     for e in entries:
         e.bucket = int(os.path.basename(os.path.dirname(e.path)).split("=", 1)[1])
     # bucketize IS the index build (moonlink's flush/index split): the same
@@ -131,10 +135,12 @@ def write_data_files(
       (identity-based evolution, fieldids.py). Files written without it
       still scan correctly via the name-resolved branch.
     """
+    expected_ids = None
     if field_id_schema is not None:
-        from moonlink_spark.table.fieldids import stamp_field_ids
+        from moonlink_spark.table.fieldids import schema_field_id_map, stamp_field_ids
 
         df = stamp_field_ids(df, field_id_schema)
+        expected_ids = schema_field_id_map(field_id_schema)
     w = df
     if num_files is not None and range_cols:
         w = w.repartitionByRange(num_files, *range_cols)
@@ -146,7 +152,9 @@ def write_data_files(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     writer.save(out_dir)
-    return collect_file_entries(spark, list_parquet(out_dir), content=DATA)
+    return collect_file_entries(
+        spark, list_parquet(out_dir), content=DATA, expected_field_ids=expected_ids
+    )
 
 
 def write_delete_files(

@@ -112,3 +112,47 @@ def test_merge_works_after_add_files(spark, table, tmp_path):
     b = gen.next_batch(0, 0, 5)
     merge_cdc_batch(spark, table, to_spark(spark, b), gen.commit_lsn)
     assert scan(spark, table).count() == 25
+
+
+def test_add_files_foreign_field_ids_scan_by_name(spark, table, tmp_path):
+    """A foreign parquet whose footer carries its OWN (mismatched) field ids
+    must take the name-resolved scan branch — id-resolving it against the
+    table's ids would silently read every column as NULL."""
+    from moonlink_spark.table.fieldids import (
+        NO_FIELD_IDS_STAT,
+        assign_field_ids,
+        stamp_field_ids,
+    )
+
+    ext = str(tmp_path / "foreign")
+    df = generate_images(spark, 25, partitions=1)
+    # stamp ids starting at 100 — valid ids, but disagreeing with the table's
+    foreign_schema = assign_field_ids(
+        type(IMAGES_SCHEMA)([StructField(f.name, f.dataType, f.nullable) for f in IMAGES_SCHEMA.fields]),
+        start=100,
+    )
+    stamp_field_ids(df, foreign_schema).write.parquet(ext)
+    paths = [os.path.join(ext, p) for p in os.listdir(ext) if p.endswith(".parquet")]
+    add_files(spark, table, paths, lsn=1)
+    # classified name-resolved, NOT id-resolvable
+    for e in table.data_entries():
+        assert e.stats.get(NO_FIELD_IDS_STAT) is True
+    out = scan(spark, table)
+    assert out.count() == 25
+    # values come back (the pre-fix failure mode was 25 all-NULL rows)
+    assert out.filter(F.col("caption").isNull()).count() == 0
+    assert out.filter(F.col("image_id").isNull()).count() == 0
+
+
+def test_add_files_matching_field_ids_stay_id_resolved(spark, table, tmp_path):
+    """A file stamped with the TABLE's own ids (e.g. exported from this
+    table) keeps the id-resolved branch."""
+    from moonlink_spark.table.fieldids import NO_FIELD_IDS_STAT, stamp_field_ids
+
+    ext = str(tmp_path / "samefmt")
+    stamp_field_ids(generate_images(spark, 10, partitions=1), table.schema).write.parquet(ext)
+    paths = [os.path.join(ext, p) for p in os.listdir(ext) if p.endswith(".parquet")]
+    add_files(spark, table, paths, lsn=1)
+    for e in table.data_entries():
+        assert not e.stats.get(NO_FIELD_IDS_STAT)
+    assert scan(spark, table).filter(F.col("caption").isNull()).count() == 0
