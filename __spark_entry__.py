@@ -631,6 +631,192 @@ def q_engine_evolve_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan(spark, t).select("image_id", "caption", "rating")
 
 
+def q_engine_typed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e over the FULL type envelope (SURVEY §1.3, moonlink
+    RowValue types moonlink_type.rs:5-21): a table with Decimal(12,2),
+    Timestamp(µs), Date, List<long> and Struct columns through create →
+    MERGE×2 (updates touching every typed column) → FULL maintenance →
+    scan. The compared projection reduces list/struct to scalar derivatives
+    so the oracle hash is representation-stable; the lifecycle itself
+    stores, merges, compacts and rewrites the nested values."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DateType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from moonlink_spark.operators.maintenance import optimize_table
+    from moonlink_spark.operators.merge import merge_cdc_batch
+    from moonlink_spark.table.catalog import create_table
+    from moonlink_spark.table.scan import scan
+    from moonlink_spark.table.writer import write_data_files
+
+    typed_schema = StructType(
+        [
+            StructField("k", StringType(), False),
+            StructField("amount", DecimalType(12, 2), True),
+            StructField("ts", TimestampType(), True),
+            StructField("d", DateType(), True),
+            StructField("tags", ArrayType(LongType()), True),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("a", IntegerType(), True),
+                        StructField("b", StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    k = F.col("o_orderkey")
+
+    def rows(df):
+        return df.select(
+            k.cast("string").alias("k"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("amount"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.array(F.col("o_custkey").cast("long"), (k % 7).cast("long")).alias("tags"),
+            F.struct(
+                (k % 100).cast("int").alias("a"),
+                F.col("o_orderpriority").alias("b"),
+            ).alias("meta"),
+        )
+
+    def as_cdc(df):
+        return df.select(
+            F.lit("U").alias("op"), F.col("k").cast("long").alias("lsn"), "*"
+        )
+
+    def dels(df):
+        return df.select(
+            F.lit("D").alias("op"),
+            k.cast("long").alias("lsn"),
+            k.cast("string").alias("k"),
+            F.lit(None).cast("decimal(12,2)").alias("amount"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(None).cast("date").alias("d"),
+            F.lit(None).cast("array<long>").alias("tags"),
+            F.lit(None).cast("struct<a:int,b:string>").alias("meta"),
+        )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(k % 10 < 4)
+    wd = tempfile.mkdtemp(prefix="moonlink_typed_")
+    t = create_table(f"{wd}/tbl", typed_schema)
+    entries = write_data_files(
+        spark, rows(base), t.new_data_dir(), field_id_schema=t.schema
+    )
+    t.commit("append", added=entries, lsn=1)
+
+    # batch 1: update amount + struct field; delete a disjoint class
+    upd1 = rows(orders.filter((k % 10 < 4) & (k % 5 == 1))).withColumn(
+        "amount", (F.col("amount") + F.lit(1.11)).cast("decimal(12,2)")
+    ).withColumn(
+        "meta",
+        F.struct(F.col("meta.a").alias("a"), F.concat(F.col("meta.b"), F.lit(" v2")).alias("b")),
+    )
+    b1 = as_cdc(upd1).unionByName(dels(orders.filter((k % 10 < 4) & (k % 5 == 2))))
+    merge_cdc_batch(spark, t, b1, lsn=2, key="k")
+
+    # batch 2: update timestamp + list; insert a new key class
+    upd2 = rows(orders.filter((k % 10 < 4) & (k % 5 == 3))).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 DAY")
+    ).withColumn("tags", F.concat(F.col("tags"), F.array(F.lit(99).cast("long"))))
+    ins2 = rows(orders.filter((k % 10 == 6) & (k % 3 == 0)))
+    merge_cdc_batch(spark, t, as_cdc(upd2.unionByName(ins2)), lsn=3, key="k")
+
+    optimize_table(spark, t, mode="full", retain_last=2)
+
+    out = scan(spark, t)
+    return out.select(
+        "k",
+        F.round(F.col("amount").cast("double"), 2).alias("amount_d"),
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("d").cast("string").alias("d_s"),
+        F.size("tags").cast("long").alias("n_tags"),
+        F.element_at("tags", 1).alias("tag0"),
+        F.col("meta.a").alias("meta_a"),
+        F.col("meta.b").alias("meta_b"),
+    )
+
+
+def q_engine_ingest_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: the REST row-event contract (moonlink O29,
+    rest_ingest/event_request.rs:10-26 — Insert/Upsert/Delete row events,
+    monotone LSN assignment, batch-atomic flush, base64 binary payloads)
+    driven through RowEventIngestor to a closed-form state: two flushes,
+    each one MERGE snapshot."""
+    import base64
+    import tempfile
+
+    from moonlink_spark.ingest_api import RowEventIngestor
+    from moonlink_spark.schema import IMAGES_SCHEMA
+    from moonlink_spark.table.catalog import create_table
+    from moonlink_spark.table.scan import scan
+    from moonlink_spark.table.writer import write_data_files
+
+    k = F.col("o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    wd = tempfile.mkdtemp(prefix="moonlink_ingest_")
+    t = create_table(f"{wd}/tbl", IMAGES_SCHEMA)
+    entries = write_data_files(
+        spark, _img_rows(orders.filter(k % 10 < 3)), t.new_data_dir(),
+        field_id_schema=t.schema,
+    )
+    t.commit("append", added=entries, lsn=1)
+
+    ing = RowEventIngestor(spark, t)  # next lsn auto = 2
+
+    def payload(r, caption, b64=False):
+        body = caption.encode()
+        return {
+            "image_id": r["image_id"],
+            "bytes": base64.b64encode(body).decode() if b64 else body,
+            "w": r["w"], "h": r["h"], "fmt": r["fmt"],
+            "caption": caption, "phash": r["phash"],
+        }
+
+    # flush 1: upserts (k%7==3, caption ' u2'), deletes (k%7==6),
+    # inserts of a new key class (k%10==4 and k%3==0) with base64 bytes
+    up1 = _img_rows(orders.filter((k % 10 < 3) & (k % 7 == 3))).collect()
+    for r in up1:
+        ing.upsert(payload(r, r["caption"] + " u2"))
+    for r in orders.filter((k % 10 < 3) & (k % 7 == 6)).select(
+        k.cast("string").alias("image_id")
+    ).collect():
+        ing.delete(r["image_id"])
+    for r in _img_rows(orders.filter((k % 10 == 4) & (k % 3 == 0))).collect():
+        ing.insert(payload(r, "ing", b64=True))
+    res1 = ing.flush()
+    assert res1 is not None and not res1.skipped
+
+    # flush 2: a second upsert wave (k%7==1, caption ' u3') — LSN monotone
+    for r in _img_rows(orders.filter((k % 10 < 3) & (k % 7 == 1))).collect():
+        ing.upsert(payload(r, r["caption"] + " u3"))
+    res2 = ing.flush()
+    assert res2 is not None and res2.snapshot.summary["lsn"] == res1.snapshot.summary["lsn"] + 1
+
+    # base64 round-trip check rides the result: decoded bytes == caption
+    out = scan(spark, t)
+    return out.select(
+        "image_id",
+        "caption",
+        "phash",
+        (F.col("bytes") == F.col("caption").cast("binary")).alias("bytes_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -657,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_timetravel": q_engine_timetravel,
         "engine_stream_scan": q_engine_stream_scan,
         "engine_evolve_scan": q_engine_evolve_scan,
+        "engine_typed_scan": q_engine_typed_scan,
+        "engine_ingest_api": q_engine_ingest_api,
     }
 
 
@@ -981,6 +1169,45 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS rating
             FROM base
             WHERE k % 10 < 3 OR k % 10 = 9
+        """,
+        "engine_typed_scan": """
+            -- final state after: base (k%10<4), b1 upd k%5=1 (amount+1.11,
+            -- meta.b||' v2'), b1 del k%5=2, b2 upd k%5=3 (ts+1d, tags+[99]),
+            -- b2 ins k%10=6 and k%3=0, then full compaction (content-neutral)
+            WITH src AS (
+                SELECT o_orderkey AS k, o_totalprice AS p, o_orderdate AS ts,
+                       o_custkey AS ck, o_orderpriority AS pr
+                FROM orders
+            ), final AS (
+                SELECT k, p, ts, ck, pr,
+                       (k % 10 < 4 AND k % 5 = 1) AS up1,
+                       (k % 10 < 4 AND k % 5 = 3) AS up2
+                FROM src
+                WHERE (k % 10 < 4 AND k % 5 <> 2) OR (k % 10 = 6 AND k % 3 = 0)
+            )
+            SELECT CAST(k AS VARCHAR) AS k,
+                   round(CASE WHEN up1 THEN round(p, 2) + 1.11
+                              ELSE round(p, 2) END, 2) AS amount_d,
+                   CAST(epoch(CASE WHEN up2 THEN ts + INTERVAL 1 DAY
+                                   ELSE ts END) AS BIGINT) AS ts_s,
+                   CAST(CAST(ts AS DATE) AS VARCHAR) AS d_s,
+                   CAST(CASE WHEN up2 THEN 3 ELSE 2 END AS BIGINT) AS n_tags,
+                   ck AS tag0,
+                   CAST(k % 100 AS INTEGER) AS meta_a,
+                   CASE WHEN up1 THEN pr || ' v2' ELSE pr END AS meta_b
+            FROM final
+        """,
+        "engine_ingest_api": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CASE WHEN k % 7 = 3 THEN c || ' u2'
+                        WHEN k % 7 = 1 THEN c || ' u3'
+                        ELSE c END AS caption,
+                   ph AS phash,
+                   TRUE AS bytes_ok
+            FROM base WHERE k % 10 < 3 AND k % 7 <> 6
+            UNION ALL
+            SELECT CAST(k AS VARCHAR), 'ing', ph, TRUE
+            FROM base WHERE k % 10 = 4 AND k % 3 = 0
         """,
         "embedding_topk": """
             SELECT query_id, neighbor_id, rank FROM (

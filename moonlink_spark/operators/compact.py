@@ -64,6 +64,16 @@ FULL = "full"
 
 _MAX_CONCURRENT_BINS = 16
 
+# Above this many bins, per-bin driver jobs stop scaling (at the 100 TB
+# design point a full compaction is ~200k bins — 200k Spark jobs is a driver
+# bottleneck): bins are rewritten by ONE job instead — a union of
+# single-partition (coalesce(1)) per-bin branches written with
+# partitionBy(bin id). Still no shuffle, still one streaming-concat task per
+# bin, input order preserved; per-bin checkpoint lineage is recorded
+# post-hoc from the manifest split.
+_BATCH_BINS_THRESHOLD = 64
+_BIN_COL = "__cbin"
+
 
 @dataclass
 class CompactResult:
@@ -224,6 +234,7 @@ def compact(
     max_files: int = 32,
     delete_ratio: float = 0.5,
     checkpoint_root: str | None = None,
+    batch_bins_threshold: int = _BATCH_BINS_THRESHOLD,
 ) -> CompactResult:
     table.refresh()
     del_counts = _delete_counts(spark, table)
@@ -278,19 +289,10 @@ def compact(
             )
             if e.record_count > 0
         ]
-        # bins never mix buckets (plan_bins) — outputs inherit the bin's bucket
-        bin_buckets = {e.bucket for e in bin_entries}
-        if len(bin_buckets) == 1 and None not in bin_buckets:
-            b = next(iter(bin_buckets))
-            for e in out:
-                e.bucket = b
-            # rebuild the per-file key bloom for the rewritten (index-merged)
-            # output — moonlink rebuilds its file index on compaction too
-            # (compactor.rs:331-365)
-            from moonlink_spark.table.bloom import attach_key_blooms
-
-            attach_key_blooms(spark, out, table_bucket_key(table))
-        return out
+        # bins never mix buckets (plan_bins) — outputs inherit the bin's
+        # bucket; their key blooms are rebuilt in ONE batched job over every
+        # bin's outputs just before commit (below), not per bin
+        return _assign_bin_bucket(i, out)
 
     def run_bin(i: int) -> list[FileEntry]:
         if ckpt:
@@ -300,6 +302,58 @@ def compact(
                 sources=sorted(e.path for e in bins[i]),
             ).entries
         return rewrite_bin(i)
+
+    def _assign_bin_bucket(i: int, out: list[FileEntry]) -> list[FileEntry]:
+        bin_buckets = {e.bucket for e in bins[i]}
+        if len(bin_buckets) == 1 and None not in bin_buckets:
+            b = next(iter(bin_buckets))
+            for e in out:
+                e.bucket = b
+        return out
+
+    def rewrite_bins_batched() -> list[FileEntry]:
+        """All bins in ONE Spark job: union of coalesce(1) branches (one
+        single-task streaming concat per bin, no shuffle, input order
+        preserved — same execution shape as per-bin jobs) written with
+        partitionBy(bin id); entries are split back per bin from the
+        __cbin=N directories and per-bin lineage checkpointed post-hoc."""
+        from functools import reduce
+
+        from moonlink_spark.table.fieldids import schema_field_id_map, stamp_field_ids
+
+        if ckpt:  # full resume: every bin step completed in a prior attempt
+            cached = [ckpt.load(f"bin-{i:05d}") for i in range(len(bins))]
+            if all(c is not None for c in cached):
+                return [e for c in cached for e in c.entries]
+
+        out_dir = os.path.join(out_root, "binned")
+        parts = [
+            stamp_field_ids(scan(spark, table, data_entries=bins[i]), table.schema)
+            .coalesce(1)
+            .withColumn(_BIN_COL, F.lit(i))
+            for i in range(len(bins))
+        ]
+        df = reduce(lambda a, b: a.unionByName(b), parts)
+        df.write.mode("overwrite").partitionBy(_BIN_COL).parquet(out_dir)
+
+        paths = [p for p in list_parquet(out_dir) if f"{_BIN_COL}=" in p]
+        entries = collect_file_entries(
+            spark, paths, expected_field_ids=schema_field_id_map(table.schema)
+        )
+        by_bin: dict[int, list[FileEntry]] = {}
+        for e in entries:
+            i = int(os.path.basename(os.path.dirname(e.path)).split("=", 1)[1])
+            if e.record_count > 0:
+                by_bin.setdefault(i, []).append(e)
+        out: list[FileEntry] = []
+        for i in range(len(bins)):
+            outs = _assign_bin_bucket(i, by_bin.get(i, []))
+            if ckpt:
+                ckpt.save(
+                    f"bin-{i:05d}", outs, sources=sorted(e.path for e in bins[i])
+                )
+            out.extend(outs)
+        return out
 
     def bucketize() -> list[FileEntry]:
         if not to_bucketize:
@@ -328,6 +382,7 @@ def compact(
             max_records_per_file=max(256, target_bytes // row_bytes),
             mode="overwrite",
             field_id_schema=table.schema,
+            build_blooms=False,  # batched with the bin outputs below
         )
         return [e for e in entries if e.record_count > 0]
 
@@ -338,10 +393,35 @@ def compact(
             ).entries
         return bucketize()
 
-    with ThreadPoolExecutor(max_workers=min(_MAX_CONCURRENT_BINS, len(bins) + 1)) as ex:
-        fut = ex.submit(run_bucketize)
-        new_entries = [e for res in ex.map(run_bin, range(len(bins))) for e in res]
-        new_entries += fut.result()
+    batched = len(bins) > batch_bins_threshold
+    if batched:
+        # one Spark job for ALL bins — O(1) driver jobs per compaction even
+        # at 100 TB bin counts; bucketize overlaps as its own job
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fut = ex.submit(run_bucketize)
+            new_entries = rewrite_bins_batched()
+            new_entries += fut.result()
+    else:
+        with ThreadPoolExecutor(
+            max_workers=min(_MAX_CONCURRENT_BINS, len(bins) + 1)
+        ) as ex:
+            fut = ex.submit(run_bucketize)
+            new_entries = [e for res in ex.map(run_bin, range(len(bins))) for e in res]
+            new_entries += fut.result()
+
+    # rebuild per-file key blooms for ALL bucket-pure outputs in ONE
+    # column-pruned job per compaction (moonlink rebuilds its file index on
+    # compaction too, compactor.rs:331-365) — batching per commit instead of
+    # per bin removes a fixed-cost Spark job from every bin
+    if buckets:
+        from moonlink_spark.table.bloom import BLOOM_STAT, attach_key_blooms
+
+        bloomable = [
+            e for e in new_entries if e.bucket is not None and BLOOM_STAT not in e.stats
+        ]
+        attach_key_blooms(
+            spark, bloomable, table_bucket_key(table), sidecar_dir=out_root
+        )
 
     # delete files now fully dangling → drop in the same commit
     removable_deletes = removable_delete_files(spark, table, sel_paths)
@@ -354,6 +434,7 @@ def compact(
         "out_bytes": sum(e.file_size_bytes for e in new_entries),
         "removed_delete_files": len(removable_deletes),
         "bins": len(bins),
+        "bin_jobs": 1 if batched else len(bins),
     }
     snap = table.commit(
         "compact",

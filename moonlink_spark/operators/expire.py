@@ -54,6 +54,10 @@ def expire_snapshots(
         raise AssertionError("current snapshot must be retained")
     expired = [s for s in md.snapshots if s.snapshot_id not in retained_ids]
 
+    # a bloom sidecar (table/bloom.py) is referenced like a data file: kept
+    # while ANY retained entry points at it, dropped with the last one
+    from moonlink_spark.table.bloom import bloom_sidecar_path
+
     keep_manifests: set[str] = set()
     keep_files: set[str] = set()
     for s in retained:
@@ -61,6 +65,9 @@ def expire_snapshots(
             keep_manifests.add(m)
             for e in read_manifest(m):
                 keep_files.add(e.path)
+                sp = bloom_sidecar_path(e)
+                if sp:
+                    keep_files.add(sp)
 
     drop_manifests: set[str] = set()
     drop_files: set[str] = set()
@@ -72,6 +79,9 @@ def expire_snapshots(
             for e in read_manifest(m):
                 if e.path not in keep_files:
                     drop_files.add(e.path)
+                sp = bloom_sidecar_path(e)
+                if sp and sp not in keep_files:
+                    drop_files.add(sp)
 
     new_md = TableMetadata(
         table_uuid=md.table_uuid,

@@ -49,6 +49,11 @@ def get_spark(
         # and scans resolve by id. Set here, at construction, so scan() never
         # has to mutate a running session's conf mid-query.
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
+        # µs-precision timestamps (reference semantics: Timestamp(µs, tz)
+        # canonicalized to UTC, moonlink_type.rs:9) — also the only parquet
+        # timestamp encoding whose min/max footer stats pyarrow can fold
+        # (INT96 has no extractable statistics)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # modest heap: this sandbox VM materializes guest pages lazily and
         # slowly (~10-100 MB/s first-touch), so heap growth mid-job stalls
         # executors in kernel time; 12g is ample for local-mode jobs here.

@@ -24,14 +24,30 @@ share one hash implementation with zero Python reimplementation, the same
 discipline as ``writer.bucket_id``. Bit placement uses Kirsch-Mitzenmacher
 double hashing: pos_i = (h>>32) + i*(h|1) mod m.
 
-At 10^12-image scale the bloom build is a column-pruned scan of just-written
-files (page-cache warm, key column only) and the probe is driver-side numpy
-over the already-pruned candidate list's metadata — no extra Spark job.
+Placement: bloom BITS live in SIDECAR index objects, one per build call
+(i.e. per commit), NOT inline in manifests — a 512 MiB image file's bloom is
+~85-115 KB, which inlined at 10^9 files would make manifest reads O(100 GB).
+The manifest entry carries only a ~100 B reference ``{"ref": sidecar_path}``;
+sidecars are loaded on demand for candidates that SURVIVE the bucket and
+min/max pruning stages, and cached by path (immutable objects). This is
+moonlink's separation of index files from metadata: the persisted hash index
+is its own mmap-read file referenced from metadata, and index blobs ride
+puffin sidecars (reference:
+src/moonlink/src/storage/index/persisted_bucket_hash_map.rs:73-93;
+src/moonlink/src/storage/iceberg/iceberg_table_syncer.rs:398-454).
+
+At 10^12-image scale the bloom build is ONE column-pruned scan of the
+commit's just-written files (page-cache warm, key column only) batched per
+commit — never per compaction bin — and the probe is driver-side numpy over
+the already-pruned candidate list's sidecars.
 """
 
 from __future__ import annotations
 
 import base64
+import json
+import os
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -39,10 +55,15 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from moonlink_spark.table.format import FileEntry
+from moonlink_spark.table.io import accessor_for
 
 BLOOM_STAT = "__key_bloom"
 BITS_PER_KEY = 20
 NUM_HASHES = 7
+
+# sidecar objects live next to the data files they index (same lifecycle:
+# expiry/orphan GC tracks them through the entries that reference them)
+SIDECAR_SUFFIX = ".bloom.json"
 
 _PACK_SCHEMA = "f string, m long, k int, b64 string"
 
@@ -75,11 +96,17 @@ def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def attach_key_blooms(
-    spark: SparkSession, entries: list[FileEntry], key: str
+    spark: SparkSession,
+    entries: list[FileEntry],
+    key: str,
+    sidecar_dir: str | None = None,
 ) -> list[FileEntry]:
-    """Build one bloom per data file (over xxhash64 of its key values) and
-    record it in the entry's stats. One column-pruned Spark job over the
-    given files; mutates and returns ``entries``."""
+    """Build one bloom per data file (over xxhash64 of its key values),
+    persist ALL of them in one sidecar index object under ``sidecar_dir``
+    (default: the first entry's directory), and record only the sidecar
+    reference in each entry's stats. One column-pruned Spark job over the
+    given files — batch per COMMIT, never per bin; mutates and returns
+    ``entries``."""
     if not entries:
         return entries
     hashes = (
@@ -91,11 +118,41 @@ def attach_key_blooms(
     )
     rows = hashes.groupBy("f").applyInPandas(_pack, schema=_PACK_SCHEMA).collect()
     blooms = {r["f"]: {"m": r["m"], "k": r["k"], "b64": r["b64"]} for r in rows}
+    if not blooms:
+        return entries
+    d = sidecar_dir or os.path.dirname(entries[0].path)
+    sidecar = os.path.join(d, f"index-{uuid.uuid4().hex[:12]}{SIDECAR_SUFFIX}")
+    accessor_for(sidecar).write_atomic(sidecar, json.dumps({"blooms": blooms}))
+    _sidecar_cache.put(sidecar, blooms)
     for e in entries:
-        kb = blooms.get(e.path)
-        if kb is not None:
-            e.stats[BLOOM_STAT] = kb
+        if e.path in blooms:
+            e.stats[BLOOM_STAT] = {"ref": sidecar}
     return entries
+
+
+# sidecar objects are immutable (uuid names) — cache parsed content by path;
+# bounded so long-lived drivers don't accumulate history
+class _SidecarLRU(dict):
+    MAX = 256
+
+    def put(self, k, v):
+        if k in self:
+            del self[k]
+        elif len(self) >= self.MAX:
+            del self[next(iter(self))]
+        self[k] = v
+
+
+_sidecar_cache = _SidecarLRU()
+
+
+def bloom_sidecar_path(entry: FileEntry) -> str | None:
+    """Sidecar object referenced by this entry's bloom, if any — expiry and
+    orphan GC must treat it as referenced exactly like ``entry.path``."""
+    kb = entry.stats.get(BLOOM_STAT)
+    if isinstance(kb, dict):
+        return kb.get("ref")
+    return None
 
 
 def bloom_may_contain_any(entry: FileEntry, key_hashes: np.ndarray) -> bool:
@@ -104,6 +161,21 @@ def bloom_may_contain_any(entry: FileEntry, key_hashes: np.ndarray) -> bool:
     kb = entry.stats.get(BLOOM_STAT)
     if not kb:
         return True
+    if "ref" in kb:  # sidecar form; legacy manifests carry the bloom inline
+        blooms = _sidecar_cache.get(kb["ref"])
+        if blooms is None:
+            try:
+                blooms = json.loads(accessor_for(kb["ref"]).read_text(kb["ref"]))[
+                    "blooms"
+                ]
+            except FileNotFoundError:
+                # sidecar gone (manual cleanup / partial restore): blooms are
+                # an optimization — degrade to "may contain", never fail
+                blooms = {}
+            _sidecar_cache.put(kb["ref"], blooms)
+        kb = blooms.get(entry.path)
+        if not kb:
+            return True
     bits = np.frombuffer(base64.b64decode(kb["b64"]), dtype=np.uint8)
     m, k = int(kb["m"]), int(kb["k"])
     # chunked with early exit: a file that DOES contain batch keys (the

@@ -62,6 +62,11 @@ class StorageAccessor(ABC):
     def exists(self, path: str) -> bool: ...
 
     @abstractmethod
+    def mtime(self, path: str) -> float | None:
+        """Last-modified epoch seconds, or None if unknown/missing — the
+        grace-period input for orphan GC (operators/orphans.py)."""
+
+    @abstractmethod
     def mkdirs(self, path: str) -> None:
         """Ensure a directory prefix exists (no-op on object stores)."""
 
@@ -115,6 +120,12 @@ class LocalFSAccessor(StorageAccessor):
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
 
+    def mtime(self, path: str) -> float | None:
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return None
+
     def mkdirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
 
@@ -128,9 +139,12 @@ class InMemoryObjectStore(StorageAccessor):
     _stores: dict[str, dict[str, str]] = {}
     _lock = threading.Lock()
 
+    _mtimes: dict[str, dict[str, float]] = {}
+
     def __init__(self, authority: str):
         with InMemoryObjectStore._lock:
             self._objects = InMemoryObjectStore._stores.setdefault(authority, {})
+            self._times = InMemoryObjectStore._mtimes.setdefault(authority, {})
 
     def read_text(self, path: str) -> str:
         try:
@@ -139,14 +153,20 @@ class InMemoryObjectStore(StorageAccessor):
             raise FileNotFoundError(path) from e
 
     def write_atomic(self, path: str, data: str) -> None:
+        import time
+
         with InMemoryObjectStore._lock:
             self._objects[path] = data
+            self._times[path] = time.time()
 
     def create_exclusive(self, path: str, data: str) -> None:
+        import time
+
         with InMemoryObjectStore._lock:
             if path in self._objects:
                 raise CasConflict(path)
             self._objects[path] = data
+            self._times[path] = time.time()
 
     def list(self, prefix: str, suffix: str = "") -> list[str]:
         p = prefix.rstrip("/") + "/"
@@ -157,13 +177,122 @@ class InMemoryObjectStore(StorageAccessor):
     def delete(self, path: str) -> None:
         with InMemoryObjectStore._lock:
             self._objects.pop(path, None)
+            self._times.pop(path, None)
 
     def exists(self, path: str) -> bool:
         with InMemoryObjectStore._lock:
             return path in self._objects
 
+    def mtime(self, path: str) -> float | None:
+        with InMemoryObjectStore._lock:
+            return self._times.get(path)
+
     def mkdirs(self, path: str) -> None:
         pass  # object stores have no directories
+
+
+class PyArrowFSAccessor(StorageAccessor):
+    """Metadata IO for real storage schemes via ``pyarrow.fs`` — the same
+    library the data plane already uses for footers (table/stats.py). One
+    class covers ``s3://``, ``gs://``, ``hdfs://`` and ``file://`` because
+    pyarrow's FileSystem.from_uri resolves them all; every method accepts
+    and returns full URIs so callers never see the scheme split.
+
+    Semantics per operation (mirroring moonlink's per-backend accessors,
+    reference: src/moonlink/src/storage/filesystem/accessor/filesystem_accessor.rs,
+    storage_config.rs:15-43):
+
+    - ``write_atomic``: temp + move on filesystems with atomic rename
+      (local, HDFS); on object stores a single PUT is atomic by contract,
+      so it writes directly — no rename needed or wanted (S3 "rename" is
+      copy+delete, i.e. worse).
+    - ``create_exclusive``: exists-check then write. pyarrow does not expose
+      conditional PUT (S3 ``If-None-Match:*``, GCS
+      ``x-goog-if-generation-match:0``), so on object stores this check is
+      NOT atomic — the true CAS remains the documented per-store seam
+      (exactly where moonlink plugs per-backend catalogs,
+      file_catalog.rs:694-778). The engine's single-writer-per-table driver
+      discipline (SURVEY §4) is the first line of defense; local and HDFS
+      mounts get a real atomicity window of ~0.
+    """
+
+    #: pyarrow type_names whose move() is an atomic rename
+    _ATOMIC_MOVE = {"local", "hdfs", "viewfs"}
+
+    def __init__(self, uri: str):
+        from pyarrow import fs as pafs
+
+        self._fs, inner = pafs.FileSystem.from_uri(uri)
+        # scheme prefix to reconstruct full URIs from inner paths:
+        # file:///tmp/x -> ("file://", "/tmp/x"); s3://b/k -> ("s3://", "b/k")
+        self._prefix = uri[: len(uri) - len(inner)] if inner and uri.endswith(inner) else uri.split("://", 1)[0] + "://"
+
+    def _inner(self, path: str) -> str:
+        return path[len(self._prefix):] if path.startswith(self._prefix) else path
+
+    def read_text(self, path: str) -> str:
+        with self._fs.open_input_stream(self._inner(path)) as f:
+            return f.read().decode()
+
+    def write_atomic(self, path: str, data: str) -> None:
+        inner = self._inner(path)
+        if self._fs.type_name in self._ATOMIC_MOVE:
+            tmp = f"{inner}.{uuid.uuid4().hex[:8]}.tmp"
+            with self._fs.open_output_stream(tmp) as f:
+                f.write(data.encode())
+            self._fs.move(tmp, inner)
+        else:  # object store: one PUT, atomic by contract
+            with self._fs.open_output_stream(inner) as f:
+                f.write(data.encode())
+
+    def create_exclusive(self, path: str, data: str) -> None:
+        if self.exists(path):
+            raise CasConflict(path)
+        self.write_atomic(path, data)
+
+    def list(self, prefix: str, suffix: str = "") -> list[str]:
+        from pyarrow import fs as pafs
+
+        try:
+            infos = self._fs.get_file_info(
+                pafs.FileSelector(self._inner(prefix), recursive=True)
+            )
+        except (FileNotFoundError, OSError):
+            return []
+        return sorted(
+            self._prefix + i.path
+            for i in infos
+            if i.type == pafs.FileType.File and i.path.endswith(suffix)
+        )
+
+    def delete(self, path: str) -> None:
+        try:
+            self._fs.delete_file(self._inner(path))
+        except (FileNotFoundError, OSError):
+            pass
+
+    def delete_prefix(self, prefix: str) -> None:
+        try:
+            self._fs.delete_dir(self._inner(prefix))
+        except (FileNotFoundError, OSError):
+            for p in self.list(prefix):
+                self.delete(p)
+
+    def exists(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+
+        return self._fs.get_file_info(self._inner(path)).type != pafs.FileType.NotFound
+
+    def mtime(self, path: str) -> float | None:
+        from pyarrow import fs as pafs
+
+        info = self._fs.get_file_info(self._inner(path))
+        if info.type == pafs.FileType.NotFound or info.mtime is None:
+            return None
+        return info.mtime.timestamp()
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.create_dir(self._inner(path), recursive=True)
 
 
 class TransientIOError(OSError):
@@ -231,6 +360,9 @@ class RetryAccessor(StorageAccessor):
     def exists(self, path):
         return self._call(self.inner.exists, path)
 
+    def mtime(self, path):
+        return self._call(self.inner.mtime, path)
+
     def mkdirs(self, path):
         return self._call(self.inner.mkdirs, path)
 
@@ -283,15 +415,22 @@ class ChaosAccessor(StorageAccessor):
         self._maybe_fail("exists", path)
         return self.inner.exists(path)
 
+    def mtime(self, path):
+        self._maybe_fail("mtime", path)
+        return self.inner.mtime(path)
+
     def mkdirs(self, path):
         self._maybe_fail("mkdirs", path)
         return self.inner.mkdirs(path)
 
 
 def accessor_for(path: str) -> StorageAccessor:
-    """Route by scheme. mem://<authority>/... → shared in-memory store;
-    plain paths and file:// → local fs."""
+    """Route by scheme. mem://<authority>/... → shared in-memory store
+    (tests, CAS-true); any real scheme URI (s3://, gs://, hdfs://, file://)
+    → pyarrow.fs; plain paths → local fs (O_EXCL CAS, fastest)."""
     if path.startswith("mem://"):
         authority = path[len("mem://"):].split("/", 1)[0]
         return InMemoryObjectStore(authority)
+    if "://" in path:
+        return PyArrowFSAccessor(path)
     return LocalFSAccessor()

@@ -27,13 +27,20 @@ _TRUNC = 64  # string min/max truncation length (Iceberg-style)
 
 def _jsonable(v, is_max: bool):
     """Make a footer stat JSON-serializable while keeping bound safety:
-    a truncated max must still be >= the true max (round the last char up)."""
+    a truncated max must still be >= the true max (round the last char up);
+    a decimal bound rounded to float must round OUTWARD (min down, max up)."""
+    import decimal as _decimal
+    import math as _math
+
     if v is None:
         return None
     if isinstance(v, bytes):
         return None  # no bounds for binary payloads (image bytes)
-    if isinstance(v, (_dt.datetime, _dt.date)):
-        return v.isoformat()
+    if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
+        return v.isoformat()  # fixed-width ISO — lexicographic == temporal
+    if isinstance(v, _decimal.Decimal):
+        f = float(v)
+        return _math.nextafter(f, _math.inf if is_max else -_math.inf)
     if isinstance(v, str) and len(v) > _TRUNC:
         if is_max:
             t = v[:_TRUNC]
@@ -42,6 +49,19 @@ def _jsonable(v, is_max: bool):
     if isinstance(v, float) and (v != v):  # NaN
         return None
     return v
+
+
+def _decode_decimal(raw, scale: int):
+    """Unscaled parquet decimal stat → decimal.Decimal. INT32/INT64-backed
+    decimals surface as python ints; FIXED_LEN_BYTE_ARRAY as big-endian
+    two's-complement bytes."""
+    import decimal as _decimal
+
+    if raw is None:
+        return None
+    if isinstance(raw, bytes):
+        raw = int.from_bytes(raw, "big", signed=True)
+    return _decimal.Decimal(raw).scaleb(-scale)
 
 
 def _open_footer(p: str):
@@ -100,8 +120,25 @@ def _footer_stats(
                 if st.null_count is not None:
                     a["nulls"] += st.null_count
                 if st.has_min_max:
-                    mn = _jsonable(st.min, is_max=False)
-                    mx = _jsonable(st.max, is_max=True)
+                    try:
+                        raw_mn, raw_mx = st.min, st.max
+                    except Exception:
+                        # pyarrow can't cast some physical/logical combos
+                        # (INT64-backed decimals as Spark writes them; INT96
+                        # timestamps in foreign files). Decimals decode from
+                        # the raw unscaled value (the reference folds decimal
+                        # bounds too, parquet_stats_utils.rs:34-174); others
+                        # get no bounds — bounds are an optimization.
+                        raw_mn = raw_mx = None
+                        lt = st.logical_type
+                        if lt is not None and lt.type == "DECIMAL":
+                            scale = json.loads(lt.to_json())["scale"]
+                            raw_mn = _decode_decimal(st.min_raw, scale)
+                            raw_mx = _decode_decimal(st.max_raw, scale)
+                        if raw_mn is None or raw_mx is None:
+                            continue
+                    mn = _jsonable(raw_mn, is_max=False)
+                    mx = _jsonable(raw_mx, is_max=True)
                     if mn is not None and (a["min"] is None or mn < a["min"]):
                         a["min"] = mn
                     if mx is not None and (a["max"] is None or mx > a["max"]):

@@ -34,7 +34,11 @@ def list_parquet(out_dir: str) -> list[str]:
     for p in accessor_for(out_dir).list(out_dir, suffix=".parquet"):
         rel = p[len(out_dir):].lstrip("/")
         parts = rel.split("/")
-        if any(seg.startswith(("_", ".")) and not seg.startswith("__bucket=") for seg in parts):
+        if any(
+            seg.startswith(("_", "."))
+            and not seg.startswith(("__bucket=", "__cbin="))
+            for seg in parts
+        ):
             continue
         out.append(p)
     return out
@@ -77,10 +81,15 @@ def write_bucketed_data_files(
     max_records_per_file: int | None = None,
     mode: str = "append",
     field_id_schema=None,
+    build_blooms: bool = True,
 ) -> list[FileEntry]:
     """Write ``df`` hash-bucketed by ``key``: one directory per bucket, each
     file bucket-pure, and the bucket id recorded in its manifest entry so
     MERGE probes touch only the buckets a CDC batch hashes into.
+
+    ``build_blooms=False`` defers the per-file key blooms to the caller —
+    compaction batches ONE bloom job per commit across all its bins instead
+    of paying a Spark job per write call.
 
     The repartition groups rows by bucket id so a bucket's rows are written
     by one task (bucket count = write parallelism, the knob a 1000-executor
@@ -106,12 +115,15 @@ def write_bucketed_data_files(
     )
     for e in entries:
         e.bucket = int(os.path.basename(os.path.dirname(e.path)).split("=", 1)[1])
+    if not build_blooms:
+        return entries
     # bucketize IS the index build (moonlink's flush/index split): the same
-    # pass also records a per-file key bloom so MERGE prunes per KEY, not
-    # just per bucket (persisted_bucket_hash_map.rs:276-307 probe semantics)
+    # pass also records a per-file key bloom (sidecar-referenced) so MERGE
+    # prunes per KEY, not just per bucket
+    # (persisted_bucket_hash_map.rs:276-307 probe semantics)
     from moonlink_spark.table.bloom import attach_key_blooms
 
-    return attach_key_blooms(spark, entries, key)
+    return attach_key_blooms(spark, entries, key, sidecar_dir=out_dir)
 
 
 def write_data_files(
@@ -171,16 +183,22 @@ def write_delete_files(
 
     The entry's ``record_count`` is the DELETED-POSITION cardinality (the
     reference's cardinality blob property), so scan broadcast sizing and
-    merge metrics keep their v1 semantics."""
-    from moonlink_spark.table.dv import DV2, DV_FORMAT_STAT, dv2_cardinalities, pack_positions
+    merge metrics keep their v1 semantics. Cardinalities come from a
+    driver-side pyarrow read of just the ``card`` column — delete files are
+    metadata-scale (one row per referenced data file), so this replaces what
+    used to be a whole extra Spark job on the MERGE hot path."""
+    from moonlink_spark.table.dv import DV2C, DV_FORMAT_STAT, pack_positions
 
     packed = pack_positions(deletes_df)
     if num_files:
         packed = packed.repartition(num_files)
     packed.sortWithinPartitions("file_path").write.mode("append").parquet(out_dir)
     entries = collect_file_entries(spark, list_parquet(out_dir), content=DELETES)
-    cards = dv2_cardinalities(spark, [e.path for e in entries])
+    from moonlink_spark.table.stats import _open_footer
+
     for e in entries:
-        e.record_count = cards.get(e.path, 0)
-        e.stats[DV_FORMAT_STAT] = DV2
+        pf, _ = _open_footer(e.path)
+        col = pf.read(columns=["card"]).column("card")
+        e.record_count = int(sum(col.to_pylist())) if len(col) else 0
+        e.stats[DV_FORMAT_STAT] = DV2C
     return entries

@@ -20,7 +20,13 @@ from moonlink_spark.table.bloom import (
     bloom_may_contain_any,
     prune_by_bloom,
 )
-from moonlink_spark.table.dv import _pack_group, _unpack_batches
+from moonlink_spark.table.dv import (
+    DV_MAGIC,
+    DVCorruption,
+    _pack_group,
+    _unpack_batches,
+    _unpack_batches_v2,
+)
 from moonlink_spark.table.format import FileEntry
 
 
@@ -54,11 +60,34 @@ def test_dv_bitmap_roundtrip(positions):
 @settings(max_examples=50, deadline=None)
 @given(st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=50))
 def test_dv_bitmap_is_dense_prefix(positions):
-    """Bitmap length is bounded by max position (dense from 0), never by
-    cardinality — the 100x-compression property at high delete ratios."""
+    """Bitmap length is bounded by max position (dense from 0) plus the
+    fixed v2c frame (4B magic + 4B crc) — never by cardinality: the
+    100x-compression property at high delete ratios."""
     pdf = pd.DataFrame({"file_path": "f", "pos": positions})
     bm = bytes(_pack_group(pdf)["bitmap"].iloc[0])
-    assert len(bm) == (max(positions) >> 3) + 1
+    assert bm[:4] == DV_MAGIC
+    assert len(bm) == 4 + ((max(positions) >> 3) + 1) + 4
+
+
+def test_dv_corruption_raises():
+    """A torn/corrupt framed bitmap must fail LOUDLY at expansion, never
+    mis-scan (reference blob carries magic + crc32c for the same reason,
+    deletion_vector.rs:16-49)."""
+    import pytest
+
+    packed = _pack_group(pd.DataFrame({"file_path": "f", "pos": [1, 9, 200]}))
+    good = bytes(packed["bitmap"].iloc[0])
+    flipped = good[:5] + bytes([good[5] ^ 0xFF]) + good[6:]
+    bad = packed.assign(bitmap=[flipped])
+    with pytest.raises(DVCorruption, match="crc mismatch"):
+        list(_unpack_batches(iter([bad])))
+    truncated = packed.assign(bitmap=[good[2:]])
+    with pytest.raises(DVCorruption, match="missing magic"):
+        list(_unpack_batches(iter([truncated])))
+    # legacy unframed v2 blobs still expand through the v2 path
+    raw = packed.assign(bitmap=[good[4:-4]])
+    out = list(_unpack_batches_v2(iter([raw])))[0]
+    assert sorted(out["pos"]) == [1, 9, 200]
 
 
 # ------------------------------------------------------------------ bloom

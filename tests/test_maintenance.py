@@ -182,3 +182,53 @@ def test_expire_age_guard_protects_young_snapshots(spark, loaded):
     res2 = expire_snapshots(t, retain_last=2, older_than_ms=2**62)
     assert res2.expired_snapshots == n - 2
     assert len(t.md.snapshots) == 2
+
+
+def test_compact_batched_bins_single_job(spark, tmp_path):
+    """Bins beyond the threshold are rewritten by ONE Spark job (union of
+    coalesce(1) branches + partitionBy bin id) — content identical, outputs
+    bucket-pure, per-bin checkpoint lineage recorded post-hoc. This is the
+    O(1)-driver-jobs path a 100 TB compaction (~200k bins) needs."""
+    import os
+
+    from moonlink_spark.checkpoint import JobCheckpoint
+    from moonlink_spark.datagen import generate_images
+    from moonlink_spark.table.bloom import BLOOM_STAT
+    from moonlink_spark.table.writer import BUCKETS_PROP, write_bucketed_data_files
+
+    B = 8
+    t = create_table(
+        str(tmp_path / "tb"), IMAGES_SCHEMA, properties={BUCKETS_PROP: str(B)}
+    )
+    entries = write_bucketed_data_files(
+        spark, generate_images(spark, 1200, partitions=8), t.new_data_dir(),
+        "image_id", B, max_records_per_file=60,  # many small files per bucket
+    )
+    t.commit("append", added=entries, lsn=1)
+    before = content_hash(spark, t)
+    base_snap = t.md.current_snapshot_id
+
+    ckroot = str(tmp_path / "ck")
+    res = compact(
+        spark, t, mode=FULL, target_bytes=1 << 30,  # one bin per bucket -> 8
+        checkpoint_root=ckroot, batch_bins_threshold=4,
+    )
+    assert not res.skipped
+    assert res.metrics["bins"] > 4
+    assert res.metrics["bin_jobs"] == 1  # batched
+    assert content_hash(spark, t) == before
+    # outputs stay bucket-pure (MERGE pruning survives) and re-bloomed
+    outs = t.data_entries()
+    assert all(e.bucket is not None for e in outs)
+    assert all(BLOOM_STAT in e.stats for e in outs)
+    # per-bin lineage recorded post-hoc
+    ck = JobCheckpoint(ckroot, f"compact-snap{base_snap}")
+    steps = ck.all_metrics()
+    bin_steps = [s for s in steps if s.startswith("bin-")]
+    assert len(bin_steps) == res.metrics["bins"]
+    # a resumed run reuses every completed bin (no recompute, same outputs)
+    res2 = compact(
+        spark, t, mode=FULL, target_bytes=1 << 30,
+        checkpoint_root=ckroot, batch_bins_threshold=4,
+    )
+    assert content_hash(spark, t) == before

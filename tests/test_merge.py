@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -236,3 +238,53 @@ def test_merge_pixels_survive(spark, table):
         assert np.array_equal(px, exp)
     else:
         assert psnr(px, exp) >= 40.0
+
+
+def test_bloom_sidecar_placement(spark, tmp_path):
+    """Bloom bits live in ONE sidecar index object per build call; manifest
+    entries carry only an O(100B) reference (the 1e9-file posture — inline
+    blooms made manifests O(100KB)/file). Probing resolves from the sidecar
+    on disk, surviving a fresh table handle and a cold cache."""
+    import json
+
+    import numpy as np
+
+    from moonlink_spark.datagen import generate_images
+    from moonlink_spark.table.bloom import (
+        BLOOM_STAT,
+        SIDECAR_SUFFIX,
+        _sidecar_cache,
+        bloom_may_contain_any,
+        bloom_sidecar_path,
+    )
+    from moonlink_spark.table.catalog import load_table
+    from moonlink_spark.table.writer import BUCKETS_PROP, write_bucketed_data_files
+
+    t = create_table(
+        str(tmp_path / "sc"), IMAGES_SCHEMA, properties={BUCKETS_PROP: "4"}
+    )
+    entries = write_bucketed_data_files(
+        spark, generate_images(spark, 400, partitions=4), t.new_data_dir(),
+        "image_id", 4, max_records_per_file=100,
+    )
+    refs = {bloom_sidecar_path(e) for e in entries}
+    assert len(refs) == 1, "one sidecar per build call"
+    sidecar = next(iter(refs))
+    assert sidecar.endswith(SIDECAR_SUFFIX) and os.path.exists(sidecar)
+    assert all(len(json.dumps(e.stats[BLOOM_STAT])) < 200 for e in entries)
+    t.commit("append", added=entries, lsn=1)
+
+    # cold probe: fresh handle, cleared cache -> blooms resolve from disk
+    _sidecar_cache.clear()
+    t2 = load_table(str(tmp_path / "sc"))
+    e0 = t2.data_entries()[0]
+    present = spark.read.parquet(e0.path).select(
+        F.xxhash64("image_id").alias("h")
+    ).limit(1).collect()[0]["h"]
+    assert bloom_may_contain_any(e0, np.array([present], dtype=np.int64).view(np.uint64))
+    absent = np.array([-1], dtype=np.int64).view(np.uint64)
+    assert not bloom_may_contain_any(e0, absent)
+    # a deleted sidecar degrades to "may contain" (optimization, never a filter)
+    _sidecar_cache.clear()
+    os.remove(sidecar)
+    assert bloom_may_contain_any(e0, absent)

@@ -38,6 +38,18 @@ def loc():
     return f"mem://bkt-{uuid.uuid4().hex[:8]}/tbl"
 
 
+@pytest.fixture(params=["mem", "pyarrow-fs"])
+def any_loc(request, tmp_path):
+    """Metadata root on either accessor backend: the mem:// object store or
+    a pyarrow.fs-mounted scheme URI (LocalFileSystem via file://) — the same
+    class that serves s3://, gs://, hdfs:// on a real cluster. Passing the
+    identical lifecycle on both proves the accessor boundary is
+    scheme-clean."""
+    if request.param == "mem":
+        return f"mem://bkt-{uuid.uuid4().hex[:8]}/tbl"
+    return f"file://{tmp_path}/meta-tbl"
+
+
 def test_mem_store_roundtrip_commits(loc):
     t = create_table(loc, SCHEMA)
     e1, e2 = _entry("a"), _entry("a")
@@ -142,14 +154,16 @@ def test_cas_primitive_semantics():
     assert acc.read_text("mem://race/obj") == "third"
 
 
-def test_mem_metadata_local_data_full_lifecycle(spark, tmp_path, loc):
+def test_remote_metadata_local_data_full_lifecycle(spark, tmp_path, any_loc):
     """create -> append (REAL parquet) -> MERGE -> full maintenance -> scan /
-    time-travel with metadata on the object store and row data on a Spark-
-    readable filesystem — the documented production split (table/io.py: Spark
-    and pyarrow speak object-store URIs natively for ROW data; the engine's
-    own metadata protocol goes through the accessor). Verifies the data
-    plane (footer stats, listing, scan, compaction) never assumes metadata
-    and data share a root."""
+    time-travel with metadata on a remote-scheme accessor (mem:// object
+    store AND pyarrow.fs file:// mount — the class serving s3/gs/hdfs) and
+    row data on a Spark-readable filesystem — the documented production
+    split (table/io.py: Spark and pyarrow speak object-store URIs natively
+    for ROW data; the engine's own metadata protocol goes through the
+    accessor). Verifies the data plane (footer stats, listing, scan,
+    compaction) never assumes metadata and data share a root."""
+    loc = any_loc
     from moonlink_spark.cdc import CdcScheduleGenerator, ReferenceTable, to_spark
     from moonlink_spark.operators.maintenance import optimize_table
     from moonlink_spark.operators.merge import merge_cdc_batch
@@ -194,3 +208,36 @@ def test_mem_metadata_local_data_full_lifecycle(spark, tmp_path, loc):
     t2 = load_table(loc)
     assert t2.flush_lsn == t.flush_lsn
     assert scan(spark, t2).count() == len(exp)
+
+
+def test_pyarrow_fs_accessor_primitives(tmp_path):
+    """PyArrowFSAccessor surface over a file:// mount: roundtrip, atomic
+    write, exists/mtime, recursive list with suffix filter, idempotent
+    delete, exclusive-create conflict (the documented non-atomic seam on
+    object stores — real CAS is per-store conditional PUT)."""
+    from moonlink_spark.table.io import PyArrowFSAccessor, accessor_for
+
+    base = f"file://{tmp_path}/store"
+    acc = accessor_for(base + "/x.json")
+    assert isinstance(acc, PyArrowFSAccessor)
+    acc.mkdirs(base + "/sub")
+    acc.write_atomic(base + "/sub/a.json", '{"v":1}')
+    acc.write_atomic(base + "/sub/b.txt", "t")
+    assert acc.read_text(base + "/sub/a.json") == '{"v":1}'
+    assert acc.exists(base + "/sub/a.json")
+    assert not acc.exists(base + "/sub/missing")
+    assert acc.mtime(base + "/sub/a.json") is not None
+    assert acc.mtime(base + "/sub/missing") is None
+    # list returns full URIs, recursive, suffix-filtered
+    assert acc.list(base, suffix=".json") == [base + "/sub/a.json"]
+    assert len(acc.list(base)) == 2
+    assert acc.list(base + "/nope") == []
+    with pytest.raises(CasConflict):
+        acc.create_exclusive(base + "/sub/a.json", "x")
+    acc.create_exclusive(base + "/sub/c.json", "c")
+    assert acc.read_text(base + "/sub/c.json") == "c"
+    acc.delete(base + "/sub/c.json")
+    acc.delete(base + "/sub/c.json")  # idempotent
+    assert not acc.exists(base + "/sub/c.json")
+    # no tmp litter from write_atomic (moved, not copied)
+    assert not [p for p in acc.list(base) if ".tmp" in p]

@@ -87,14 +87,18 @@ def test_dv_bitmap_compression_and_roundtrip(spark, table):
     # record_count carries the deleted-position cardinality
     assert sum(e.record_count for e in dentries) == n_del
     # the stored representation is ≤1 bit-payload byte per ~8 deleted
-    # positions + slack for sparse tails — vs ≥8B (pos) + path per row in v1.
+    # positions + slack for sparse tails + a fixed 8B magic/crc frame per
+    # referenced data file (v2c) — vs ≥8B (pos) + path per row in v1.
     # (End-to-end FILE byte ratio is asserted at bench scale, where parquet
     # per-file fixed overhead stops dominating.)
-    payload = (
+    agg = (
         spark.read.parquet(*[e.path for e in dentries])
-        .agg(F.sum(F.length("bitmap"))).collect()[0][0]
+        .agg(F.sum(F.length("bitmap")).alias("b"), F.count("*").alias("nf"))
+        .collect()[0]
     )
-    assert payload < n_del, f"bitmap payload {payload}B for {n_del} positions"
+    assert agg["b"] < n_del + 8 * agg["nf"], (
+        f"bitmap payload {agg['b']}B for {n_del} positions over {agg['nf']} files"
+    )
     # expansion round-trips exactly
     got = read_delete_positions(spark, dentries)
     assert got.count() == n_del
