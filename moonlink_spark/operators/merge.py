@@ -38,6 +38,7 @@ from moonlink_spark.table.bloom import BLOOM_STAT, prune_by_bloom
 from moonlink_spark.schema import MERGE_KEY
 from moonlink_spark.table.catalog import Table
 from moonlink_spark.table.format import FileEntry, Snapshot
+from moonlink_spark.table.planning import plan_data_candidates
 from moonlink_spark.table.scan import FILE_COL, POS_COL, prune_entries, scan
 from moonlink_spark.table.writer import (
     FLUSH_TARGET_BYTES,
@@ -148,16 +149,30 @@ def merge_cdc_batch(
     #   2. min/max key bounds from manifest stats
     #   3. per-file key blooms: a file containing NONE of the batch's keys is
     #      dropped even when the batch is broader than the bucket count
-    all_data = table.data_entries()
-    candidates = all_data if agg["lo"] is not None else []
-    if buckets and candidates:
-        batch_buckets = set(agg["bks"])
-        candidates = [
-            e for e in candidates if e.bucket is None or e.bucket in batch_buckets
-        ]
-    candidates = (
-        prune_entries(candidates, key, agg["lo"], agg["hi"]) if candidates else []
-    )
+    # Stages 1-2 run DISTRIBUTED over parquet manifests when the table is at
+    # that scale (table/planning.py — driver holds O(survivors), never
+    # O(table)); small/JSON-manifest tables prune driver-side. Identical
+    # semantics either way.
+    batch_buckets = set(agg["bks"]) if buckets else None
+    total_files = None
+    candidates: list[FileEntry] = []
+    if agg["lo"] is not None:
+        planned = plan_data_candidates(
+            spark, table, key, agg["lo"], agg["hi"], batch_buckets=batch_buckets
+        )
+        if planned is not None:
+            candidates, total_files = planned
+        else:
+            all_data = table.data_entries()
+            total_files = len(all_data)
+            candidates = all_data
+            if batch_buckets is not None:
+                candidates = [
+                    e
+                    for e in candidates
+                    if e.bucket is None or e.bucket in batch_buckets
+                ]
+            candidates = prune_entries(candidates, key, agg["lo"], agg["hi"])
     pre_bloom = len(candidates)
     if candidates and n_cdc <= _BLOOM_PROBE_MAX_KEYS and any(
         BLOOM_STAT in e.stats for e in candidates
@@ -241,7 +256,7 @@ def merge_cdc_batch(
         "data_files": len(ins_entries),
         "pruned_candidates": len(candidates),
         "bloom_pruned_from": pre_bloom,
-        "total_data_files": len(all_data),
+        "total_data_files": total_files,
         "probe_delete_sec": round(t1 - t0, 3),
         "insert_write_sec": round(t2 - t1, 3),
     }

@@ -23,6 +23,7 @@ from moonlink_spark.table.format import (
     DATA,
     DELETES,
     LSN_PROP,
+    MANIFEST_FORMAT_PROP,
     FileEntry,
     Snapshot,
     TableMetadata,
@@ -143,13 +144,16 @@ class Table:
                 f"LSN must be monotone: commit lsn={lsn} < table lsn={self.flush_lsn}"
             )
 
+        fmt = md.properties.get(MANIFEST_FORMAT_PROP)
         manifests: list[str] = []
         if manifests_override is not None:
             # manifest rewrite: regroup entries, PRESERVING their original
             # sequence numbers (logical content must stay byte-identical)
             for group in manifests_override:
                 if group:
-                    manifests.append(write_manifest(self.metadata_dir, seq, group))
+                    manifests.append(
+                        write_manifest(self.metadata_dir, seq, group, fmt=fmt)
+                    )
         elif parent is not None and not removed_paths:
             # append-only commit (MERGE, flush): parent manifests are reused
             # BY REFERENCE — no manifest is read or rewritten; commit cost is
@@ -161,13 +165,15 @@ class Table:
                 if any(e.path in removed_paths for e in entries):
                     kept = [e for e in entries if e.path not in removed_paths]
                     if kept:
-                        manifests.append(write_manifest(self.metadata_dir, seq, kept))
+                        manifests.append(
+                            write_manifest(self.metadata_dir, seq, kept, fmt=fmt)
+                        )
                 else:
                     manifests.append(m)
         for e in added:
             e.sequence_number = seq
         if added:
-            manifests.append(write_manifest(self.metadata_dir, seq, added))
+            manifests.append(write_manifest(self.metadata_dir, seq, added, fmt=fmt))
 
         summary = {
             "operation": operation,

@@ -197,20 +197,96 @@ def clear_metadata_cache() -> None:
     _snapshot_cache.clear()
 
 
-def write_manifest(metadata_dir: str, sequence_number: int, entries: list[FileEntry]) -> str:
-    path = os.path.join(
-        metadata_dir, f"manifest-{sequence_number}-{uuid.uuid4().hex[:12]}.json"
-    )
+# Manifest format: "json" (default — human-readable, ideal for the
+# O(100)-file tables tests exercise) or "parquet" (columnar, zstd, one row
+# per entry with stats as a compact JSON string column). Parquet manifests
+# are the 10^9-file posture: ~20-50x smaller than JSON, driver reads decode
+# via pyarrow (no per-entry json.loads of a giant document), and — because
+# they are plain parquet on Spark-readable storage — scan planning itself
+# can run DISTRIBUTED over them (table/planning.py) so the driver only ever
+# materializes the entries that survive pruning. Iceberg stores manifests as
+# Avro rows for exactly these reasons; moonlink inherits that via its
+# Iceberg sync (reference: src/moonlink/src/storage/iceberg/
+# iceberg_table_syncer.rs:398-454).
+MANIFEST_FORMAT_PROP = "write.manifest-format"
+# safety net: above this entry count a manifest is written parquet even on
+# json-format tables — a single JSON document this large is a driver hazard
+PARQUET_MANIFEST_AUTO_MIN = 4096
+
+
+def write_manifest(
+    metadata_dir: str,
+    sequence_number: int,
+    entries: list[FileEntry],
+    fmt: str | None = None,
+) -> str:
     dicts = [e.to_dict() for e in entries]
-    accessor_for(path).write_atomic(path, json.dumps({"entries": dicts}))
+    if fmt is None:
+        fmt = "json"
+    if fmt != "parquet" and len(dicts) >= PARQUET_MANIFEST_AUTO_MIN:
+        fmt = "parquet"
+    ext = "parquet" if fmt == "parquet" else "json"
+    path = os.path.join(
+        metadata_dir, f"manifest-{sequence_number}-{uuid.uuid4().hex[:12]}.{ext}"
+    )
+    if fmt == "parquet":
+        accessor_for(path).write_atomic_bytes(path, _manifest_parquet_bytes(dicts))
+    else:
+        accessor_for(path).write_atomic(path, json.dumps({"entries": dicts}))
     _manifest_cache.put(path, dicts)
     return path
+
+
+_MANIFEST_COLS = (
+    "content",
+    "path",
+    "record_count",
+    "file_size_bytes",
+    "sequence_number",
+    "bucket",
+)
+
+
+def _manifest_parquet_bytes(dicts: list[dict]) -> bytes:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("content", pa.string()),
+            ("path", pa.string()),
+            ("record_count", pa.int64()),
+            ("file_size_bytes", pa.int64()),
+            ("sequence_number", pa.int64()),
+            ("bucket", pa.int32()),
+            ("stats", pa.string()),  # per-entry JSON — small (blooms are sidecars)
+        ]
+    )
+    cols = {c: [d[c] for d in dicts] for c in _MANIFEST_COLS}
+    cols["stats"] = [json.dumps(d["stats"], separators=(",", ":")) for d in dicts]
+    sink = pa.BufferOutputStream()
+    pq.write_table(pa.table(cols, schema=schema), sink, compression="zstd")
+    return sink.getvalue().to_pybytes()
+
+
+def _parse_manifest_parquet(data: bytes) -> list[dict]:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(pa.BufferReader(data)).to_pylist()
+    for r in rows:
+        r["stats"] = json.loads(r.pop("stats") or "{}")
+    return rows
 
 
 def read_manifest(path: str) -> list[FileEntry]:
     dicts = _manifest_cache.get(path)
     if dicts is None:
-        dicts = json.loads(accessor_for(path).read_text(path))["entries"]
+        acc = accessor_for(path)
+        if path.endswith(".parquet"):
+            dicts = _parse_manifest_parquet(acc.read_bytes(path))
+        else:
+            dicts = json.loads(acc.read_text(path))["entries"]
         _manifest_cache.put(path, dicts)
     return [FileEntry.from_dict(e) for e in dicts]
 

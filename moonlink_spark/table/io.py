@@ -46,6 +46,15 @@ class StorageAccessor(ABC):
     def write_atomic(self, path: str, data: str) -> None:
         """Readers see the old object or the new one, never a torn write."""
 
+    # binary variants (parquet manifests, index blobs). Default adapters keep
+    # pre-existing accessor subclasses working: text stores round-trip bytes
+    # via latin-1 (a lossless 1:1 byte<->codepoint mapping).
+    def read_bytes(self, path: str) -> bytes:
+        return self.read_text(path).encode("latin-1")
+
+    def write_atomic_bytes(self, path: str, data: bytes) -> None:
+        self.write_atomic(path, data.decode("latin-1"))
+
     @abstractmethod
     def create_exclusive(self, path: str, data: str) -> None:
         """Atomically create ``path`` iff absent; raise CasConflict else."""
@@ -82,9 +91,19 @@ class LocalFSAccessor(StorageAccessor):
         with open(path) as f:
             return f.read()
 
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
     def write_atomic(self, path: str, data: str) -> None:
         tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
+            f.write(data)
+        os.rename(tmp, path)
+
+    def write_atomic_bytes(self, path: str, data: bytes) -> None:
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "wb") as f:
             f.write(data)
         os.rename(tmp, path)
 
@@ -148,9 +167,17 @@ class InMemoryObjectStore(StorageAccessor):
 
     def read_text(self, path: str) -> str:
         try:
-            return self._objects[path]
+            data = self._objects[path]
         except KeyError as e:
             raise FileNotFoundError(path) from e
+        return data.decode() if isinstance(data, bytes) else data
+
+    def read_bytes(self, path: str) -> bytes:
+        try:
+            data = self._objects[path]
+        except KeyError as e:
+            raise FileNotFoundError(path) from e
+        return data if isinstance(data, bytes) else data.encode()
 
     def write_atomic(self, path: str, data: str) -> None:
         import time
@@ -158,6 +185,9 @@ class InMemoryObjectStore(StorageAccessor):
         with InMemoryObjectStore._lock:
             self._objects[path] = data
             self._times[path] = time.time()
+
+    def write_atomic_bytes(self, path: str, data: bytes) -> None:
+        self.write_atomic(path, data)  # values may be str or bytes
 
     def create_exclusive(self, path: str, data: str) -> None:
         import time
@@ -231,19 +261,25 @@ class PyArrowFSAccessor(StorageAccessor):
         return path[len(self._prefix):] if path.startswith(self._prefix) else path
 
     def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode()
+
+    def read_bytes(self, path: str) -> bytes:
         with self._fs.open_input_stream(self._inner(path)) as f:
-            return f.read().decode()
+            return f.read()
 
     def write_atomic(self, path: str, data: str) -> None:
+        self.write_atomic_bytes(path, data.encode())
+
+    def write_atomic_bytes(self, path: str, data: bytes) -> None:
         inner = self._inner(path)
         if self._fs.type_name in self._ATOMIC_MOVE:
             tmp = f"{inner}.{uuid.uuid4().hex[:8]}.tmp"
             with self._fs.open_output_stream(tmp) as f:
-                f.write(data.encode())
+                f.write(data)
             self._fs.move(tmp, inner)
         else:  # object store: one PUT, atomic by contract
             with self._fs.open_output_stream(inner) as f:
-                f.write(data.encode())
+                f.write(data)
 
     def create_exclusive(self, path: str, data: str) -> None:
         if self.exists(path):
@@ -342,8 +378,14 @@ class RetryAccessor(StorageAccessor):
     def read_text(self, path):
         return self._call(self.inner.read_text, path)
 
+    def read_bytes(self, path):
+        return self._call(self.inner.read_bytes, path)
+
     def write_atomic(self, path, data):
         return self._call(self.inner.write_atomic, path, data)
+
+    def write_atomic_bytes(self, path, data):
+        return self._call(self.inner.write_atomic_bytes, path, data)
 
     def create_exclusive(self, path, data):
         return self._call(self.inner.create_exclusive, path, data)
@@ -391,9 +433,17 @@ class ChaosAccessor(StorageAccessor):
         self._maybe_fail("read", path)
         return self.inner.read_text(path)
 
+    def read_bytes(self, path):
+        self._maybe_fail("read", path)
+        return self.inner.read_bytes(path)
+
     def write_atomic(self, path, data):
         self._maybe_fail("write", path)
         return self.inner.write_atomic(path, data)
+
+    def write_atomic_bytes(self, path, data):
+        self._maybe_fail("write", path)
+        return self.inner.write_atomic_bytes(path, data)
 
     def create_exclusive(self, path, data):
         self._maybe_fail("create", path)

@@ -1,0 +1,124 @@
+"""Distributed scan planning — prune manifests as data, not driver state.
+
+At the 10^12-image design point a snapshot references ~10^8-10^9 data files.
+Driver-side planning (parse every manifest entry into Python objects, then
+prune) is O(table) driver memory and CPU — the classic metadata wall. The
+moonlink reference hits the same wall with its in-memory GlobalIndex and
+answers it with persisted, mmap-probed index files
+(reference: src/moonlink/src/storage/index/persisted_bucket_hash_map.rs:73-93).
+
+The Spark-first answer: manifests in PARQUET form (table/format.py) are
+themselves a dataset, so candidate selection for a MERGE probe runs as a
+Spark job over the manifest files — bucket-set membership, min/max interval
+overlap — and the driver only ever materializes the entries that SURVIVE
+pruning (plus per-file bloom refs, probed afterwards from sidecars). Iceberg
+plans scans over its Avro manifests with the same metadata-as-data shape.
+
+Applicability: every manifest in the snapshot must be parquet and live on
+Spark-readable storage (local paths / file:// — real clusters add s3a etc.
+through the same reader). Otherwise callers fall back to driver planning;
+both paths implement identical semantics (scan.prune_entries), and entries
+lacking bounds are always kept — pruning is an optimization, never a filter.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.table.catalog import Table
+from moonlink_spark.table.format import DATA, FileEntry
+
+#: "false" forces driver-side planning; unset/anything else = auto
+#: (distributed exactly when the snapshot's manifests are all parquet and
+#: Spark-readable — which by construction means the table is at
+#: parquet-manifest scale).
+PLAN_DISTRIBUTED_PROP = "plan.distributed"
+
+
+def _spark_readable(path: str) -> bool:
+    return "://" not in path or path.startswith("file://")
+
+
+def plannable(table: Table, snapshot_id: int | None = None) -> bool:
+    prop = table.md.properties.get(PLAN_DISTRIBUTED_PROP)
+    if prop == "false":
+        return False
+    snap = (
+        table.md.current_snapshot()
+        if snapshot_id is None
+        else table.md.snapshot_by_id(snapshot_id)
+    )
+    if snap is None or not snap.manifests:
+        return False
+    return all(
+        m.endswith(".parquet") and _spark_readable(m) for m in snap.manifests
+    )
+
+
+def _row_to_entry(r) -> FileEntry:
+    return FileEntry(
+        content=r["content"],
+        path=r["path"],
+        record_count=r["record_count"],
+        file_size_bytes=r["file_size_bytes"],
+        sequence_number=r["sequence_number"],
+        stats=json.loads(r["stats"] or "{}"),
+        bucket=r["bucket"],
+    )
+
+
+def plan_data_candidates(
+    spark: SparkSession,
+    table: Table,
+    key: str,
+    lo,
+    hi,
+    batch_buckets: set[int] | None = None,
+    snapshot_id: int | None = None,
+) -> tuple[list[FileEntry], int] | None:
+    """MERGE-probe candidate selection as ONE Spark job over the snapshot's
+    parquet manifests. Returns (surviving data entries, total data-file
+    count), or None when the snapshot is not distributed-plannable (caller
+    falls back to driver-side pruning).
+
+    Semantics match the driver path exactly: a file survives when
+    (a) its bucket is unset or in the batch's bucket set, AND
+    (b) its [min,max] bounds for ``key`` are absent or intersect [lo, hi].
+    """
+    if not plannable(table, snapshot_id):
+        return None
+    snap = (
+        table.md.current_snapshot()
+        if snapshot_id is None
+        else table.md.snapshot_by_id(snapshot_id)
+    )
+    df = spark.read.parquet(*snap.manifests).filter(F.col("content") == DATA)
+
+    keep = F.lit(True)
+    if batch_buckets is not None:
+        keep = F.col("bucket").isNull() | F.col("bucket").isin(
+            [int(b) for b in batch_buckets]
+        )
+    # bounds live in the per-entry stats JSON; cast to the key's table type
+    # so interval overlap compares typed values, not strings
+    key_type = {f.name: f.dataType.simpleString() for f in table.schema.fields}.get(
+        key, "string"
+    )
+    mn = F.get_json_object("stats", f"$.{key}.min").cast(key_type)
+    mx = F.get_json_object("stats", f"$.{key}.max").cast(key_type)
+    keep = keep & (
+        mn.isNull() | mx.isNull() | ~((mx < F.lit(lo)) | (mn > F.lit(hi)))
+    )
+    # survivors stream to the driver per-partition (no single-task gather),
+    # so driver memory is O(survivors), never O(table); the total is a
+    # second metadata-scale job (manifest bytes ~ 10^-5 of table bytes)
+    df = df.cache()
+    try:
+        total = df.count()
+        hits = df.filter(keep).collect()
+    finally:
+        df.unpersist()
+    return [_row_to_entry(r) for r in hits], total
