@@ -371,7 +371,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # travel — not just the function library.
 
 
-def _lifecycle_table(spark: SparkSession, sf_dir: str, post: str | None = None):
+def _lifecycle_table(
+    spark: SparkSession,
+    sf_dir: str,
+    post: str | None = None,
+    extra_props: dict | None = None,
+):
     """Build an image-schema table from orders; apply two CDC batches via
     merge_cdc_batch; optionally run maintenance. Returns the Table.
 
@@ -431,7 +436,8 @@ def _lifecycle_table(spark: SparkSession, sf_dir: str, post: str | None = None):
     orders = _t(spark, sf_dir, "orders")
     base = orders.filter(k % 10 < 3)
     wd = tempfile.mkdtemp(prefix="moonlink_lifecycle_")
-    t = create_table(f"{wd}/tbl", IMAGES_SCHEMA, properties={BUCKETS_PROP: "16"})
+    props = {BUCKETS_PROP: "16", **(extra_props or {})}
+    t = create_table(f"{wd}/tbl", IMAGES_SCHEMA, properties=props)
     entries = write_bucketed_data_files(
         spark, rows(base), t.new_data_dir(), "image_id", 16,
         max_records_per_file=4096,
@@ -472,10 +478,17 @@ _LIFECYCLE_COLS = ["image_id", "caption", "phash"]
 
 def q_engine_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine e2e: append + 2 MERGE CDC batches (upsert/delete, positional
-    deletes, DV-aware scan) → final snapshot content."""
+    deletes, DV-aware scan) → final snapshot content. This variant runs on
+    PARQUET manifests, so MERGE candidate selection goes through the
+    distributed planner (table/planning.py — metadata-as-data); the other
+    lifecycle queries keep covering the JSON-manifest driver-side path.
+    Content (and therefore the oracle) is identical either way."""
+    from moonlink_spark.table.format import MANIFEST_FORMAT_PROP
     from moonlink_spark.table.scan import scan
 
-    t = _lifecycle_table(spark, sf_dir)
+    t = _lifecycle_table(
+        spark, sf_dir, extra_props={MANIFEST_FORMAT_PROP: "parquet"}
+    )
     return scan(spark, t).select(*_LIFECYCLE_COLS)
 
 

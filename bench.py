@@ -638,33 +638,51 @@ def decode_scaling_report() -> None:
     APPENDS the results to BENCH/BASELINE.md.
     """
     cores = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE", "8,32").split(",")]
-    # the decode leg is cheap (~20k rows, k=8), so it runs MORE repetitions
-    # than the full experiment: rep-to-rep host variance on this VM exceeded
-    # the measured effect in round 3 (one 8-core leg ran 4x faster per-core
-    # than its sibling rep), so the gate below grades the MEDIAN pair over
-    # all reps, with legs interleaved (8,32,8,32,...) and the CPU ceiling
-    # re-probed inside every rep.
-    reps = int(os.environ.get("MOONLINK_DECODE_REPS", "4"))
+    # Host variance on this VM is minute-scale and exceeds the effect being
+    # measured (round 3: sibling reps 4x apart per-core; round 4 pre-rework:
+    # CPU-probe "ceilings" from 0.54 to a physically impossible 1.45 within
+    # one run). Countermeasures, all aimed at pairing measurements as closely
+    # in time as possible and repeating enough for a median to stabilize:
+    # - the table is built ONCE and shared by every leg (byte-identical input,
+    #   legs drop from ~6 min to ~1 min, so a rep's N and 4N legs run nearly
+    #   back-to-back);
+    # - the CPU ceiling is probed immediately before each rep's leg pair;
+    # - legs interleave (8,32,8,32,...) across reps, fresh JVM each leg;
+    # - the GATE grades the MEDIAN pair over all reps.
+    reps = int(os.environ.get("MOONLINK_DECODE_REPS", "6"))
     rows = int(os.environ.get("MOONLINK_DECODE_ROWS", "20000"))
     k = int(os.environ.get("MOONLINK_DECODE_K", "8"))
 
+    shared_root = tempfile.mkdtemp(prefix="moonlink_decode_shared_")
+    shared_tbl = os.path.join(shared_root, "imgs")
+    base_env = dict(
+        os.environ,
+        MOONLINK_DECODE_ROWS=str(rows),
+        MOONLINK_DECODE_K=str(k),
+        MOONLINK_DECODE_TABLE=shared_tbl,
+    )
+    subprocess.run(  # build the shared table once (untimed)
+        [sys.executable, os.path.abspath(__file__), "--decode-leg"],
+        env=dict(base_env, SPARK_GRAFT_CPUS=str(cores[-1]),
+                 MOONLINK_DECODE_BUILD_ONLY="1"),
+        capture_output=True, text=True, check=True,
+    )
+
     runs = []
-    for rep in range(reps):
-        hw = hw_probe(cores)
-        per_core = {}
-        for cpus in cores:
-            env = dict(
-                os.environ,
-                SPARK_GRAFT_CPUS=str(cpus),
-                MOONLINK_DECODE_ROWS=str(rows),
-                MOONLINK_DECODE_K=str(k),
-            )
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--decode-leg"],
-                env=env, capture_output=True, text=True, check=True,
-            )
-            per_core[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-        runs.append({"hw": hw, "results": per_core})
+    try:
+        for rep in range(reps):
+            hw = hw_probe(cores)
+            per_core = {}
+            for cpus in cores:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--decode-leg"],
+                    env=dict(base_env, SPARK_GRAFT_CPUS=str(cpus)),
+                    capture_output=True, text=True, check=True,
+                )
+                per_core[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+            runs.append({"hw": hw, "results": per_core})
+    finally:
+        shutil.rmtree(shared_root, ignore_errors=True)
 
     pairs = [(a, b) for a in cores for b in cores if b == 4 * a]
     lines = [
@@ -679,13 +697,15 @@ def decode_scaling_report() -> None:
         "decode every image through the engine codec and checksum the",
         "pixels (functions/imagecodec.py via mapInPandas, Arrow-batched).",
         f"Timed region: k={k} replicated scans of a {rows}-row table in one",
-        f"job; {reps} interleaved repetitions (8,32,8,32,... — fresh JVMs,",
-        "CPU ceiling re-probed inside every rep); byte-identical layout",
-        "across core counts. The GATE grades the MEDIAN pair over all reps:",
-        "single-rep readings on this VM carry host-variance larger than the",
-        "effect measured (round-3 rep 2's 8-core leg ran 4x faster per-core",
-        "than rep 1's), and a median over >=3 interleaved reps is the",
-        "smallest estimator that variance cannot flip.",
+        f"job; {reps} interleaved repetitions (8,32,8,32,... — fresh JVMs",
+        "with pre-touched heaps, ONE shared prebuilt table so every leg",
+        "reads byte-identical files and a rep's N / 4N legs run nearly",
+        "back-to-back, CPU ceiling probed immediately before each leg",
+        "pair). The GATE grades the MEDIAN pair over all reps: single-rep",
+        "readings on this VM carry host-variance larger than the effect",
+        "measured (round-3 sibling reps ran 4x apart per-core), and a",
+        "median over interleaved reps is the smallest estimator that",
+        "variance cannot flip.",
         "",
         "| rep | pair | decode MB/s at N / 4N | decode eff (raw) "
         "| CPU ceiling | decode eff (vs CPU ceiling) |",
@@ -763,20 +783,44 @@ def decode_leg() -> None:
 
     rows = int(os.environ.get("MOONLINK_DECODE_ROWS", "20000"))
     k = int(os.environ.get("MOONLINK_DECODE_K", "8"))
-    spark = get_spark(cores=CPUS, app_name=f"decode-{CPUS}")
+    # pre-touch the heap like the main scaling legs: this VM re-materializes
+    # fresh guest pages at ~10-100 MB/s, so heap growth mid-region stalls the
+    # JVM in kernel time — and it stalls the HIGHER core count harder (4x the
+    # concurrent allocation churn), which inverts apparent scaling.
+    heap = os.environ.get("SPARK_DRIVER_MEM", "12g")
+    spark = get_spark(
+        cores=CPUS,
+        app_name=f"decode-{CPUS}",
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-Xms{heap} -XX:+AlwaysPreTouch"
+        },
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(SHUFFLE_PARTITIONS))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(SCAN_SPLIT_BYTES))
-    workdir = tempfile.mkdtemp(prefix="moonlink_decode_")
+    # MOONLINK_DECODE_TABLE: a shared prebuilt table — every leg of every rep
+    # then scans byte-identical files AND skips the build, making legs short
+    # enough to interleave tightly (host drift on this VM is minute-scale).
+    shared = os.environ.get("MOONLINK_DECODE_TABLE")
+    workdir = None if shared else tempfile.mkdtemp(prefix="moonlink_decode_")
     try:
-        t = create_table(os.path.join(workdir, "imgs"), IMAGES_SCHEMA)
-        df = generate_images(spark, rows, partitions=LAYOUT_PARTITIONS)
-        entries = write_data_files(
-            spark, df, t.new_data_dir(),
-            max_records_per_file=LOAD_ROWS_PER_FILE,
-            field_id_schema=t.schema,
-        )
-        t.commit("append", added=entries, lsn=1)
-        total_bytes = sum(e.file_size_bytes for e in entries)
+        tbl_path = shared or os.path.join(workdir, "imgs")
+        if shared and os.path.exists(os.path.join(shared, "metadata")):
+            from moonlink_spark import load_table
+
+            t = load_table(tbl_path)
+        else:
+            t = create_table(tbl_path, IMAGES_SCHEMA)
+            df = generate_images(spark, rows, partitions=LAYOUT_PARTITIONS)
+            entries = write_data_files(
+                spark, df, t.new_data_dir(),
+                max_records_per_file=LOAD_ROWS_PER_FILE,
+                field_id_schema=t.schema,
+            )
+            t.commit("append", added=entries, lsn=1)
+        total_bytes = sum(e.file_size_bytes for e in t.data_entries())
+        if os.environ.get("MOONLINK_DECODE_BUILD_ONLY"):
+            print(json.dumps({"built": tbl_path, "bytes": total_bytes}))
+            return
 
         def run_decode(batches):
             from moonlink_spark.functions.imagecodec import decode
@@ -820,7 +864,8 @@ def decode_leg() -> None:
             "decode_mbps": round(total_bytes / med / 1e6, 1),
         }))
     finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+        if workdir:
+            shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
 
 

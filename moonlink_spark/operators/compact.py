@@ -176,7 +176,9 @@ def select_candidates(
         or unindexed(e)
         or (e.record_count and del_counts.get(e.path, 0) / e.record_count >= delete_ratio)
     ]
-    cand.sort(key=lambda e: e.file_size_bytes)
+    # (size, path) is a total order — keeps the selection identical to the
+    # distributed planner (planning.plan_compaction_candidates) on ties
+    cand.sort(key=lambda e: (e.file_size_bytes, e.path))
     need = 2 if mode == FORCE_REGULAR else min_files
     if len(cand) < need:
         return []
@@ -238,9 +240,20 @@ def compact(
 ) -> CompactResult:
     table.refresh()
     del_counts = _delete_counts(spark, table)
-    selected = select_candidates(
-        table, del_counts, mode, target_bytes, min_files, max_files, delete_ratio
+    # candidate selection runs DISTRIBUTED over parquet manifests when the
+    # table is at that scale (planning.py — driver holds O(candidates), never
+    # O(table)); JSON-manifest tables select driver-side, same policy
+    from moonlink_spark.table.planning import plan_compaction_candidates
+
+    selected = plan_compaction_candidates(
+        spark, table, del_counts, mode, target_bytes, min_files, max_files,
+        delete_ratio, bucketed=bool(table_buckets(table)),
     )
+    if selected is None:
+        selected = select_candidates(
+            table, del_counts, mode, target_bytes, min_files, max_files,
+            delete_ratio,
+        )
     if not selected:
         return CompactResult(None, 0, 0, 0, 0, 0, skipped=True)
 

@@ -122,3 +122,75 @@ def plan_data_candidates(
     finally:
         df.unpersist()
     return [_row_to_entry(r) for r in hits], total
+
+
+def plan_compaction_candidates(
+    spark: SparkSession,
+    table: Table,
+    del_counts: dict[str, int],
+    mode: str,
+    target_bytes: int,
+    min_files: int,
+    max_files: int,
+    delete_ratio: float,
+    bucketed: bool,
+) -> list[FileEntry] | None:
+    """Compaction candidate selection as a Spark job over the snapshot's
+    parquet manifests — the distributed twin of
+    ``operators.compact.select_candidates`` (same trigger policy, reference
+    snapshot_maintenance.rs:42-196). Returns None when not plannable.
+
+    ``del_counts`` (per-file deleted-row counts) is driver-small by
+    construction — one entry per file with live deletes, which steady-state
+    maintenance keeps bounded — and rides in as a broadcast join. The driver
+    receives O(candidates): best-effort truncates to ``max_files`` via a
+    distributed sort+limit; full mode returns every file needing work, which
+    is exactly the set the driver must orchestrate rewrites for anyway.
+    """
+    if not plannable(table):
+        return None
+    snap = table.md.current_snapshot()
+    df = spark.read.parquet(*snap.manifests).filter(F.col("content") == DATA)
+    if del_counts:
+        dc = F.broadcast(
+            spark.createDataFrame(
+                [(p, int(n)) for p, n in del_counts.items()],
+                "dpath string, dn long",
+            )
+        )
+        df = df.join(dc, F.col("path") == F.col("dpath"), "left").drop("dpath")
+    else:
+        df = df.withColumn("dn", F.lit(None).cast("long"))
+    dn = F.coalesce(F.col("dn"), F.lit(0))
+    small = F.col("file_size_bytes") < F.lit(int(target_bytes))
+    unindexed = F.col("bucket").isNull() if bucketed else F.lit(False)
+
+    if mode == "full":
+        rows = df.filter(small | (dn > 0) | unindexed).drop("dn").collect()
+        cand = [_row_to_entry(r) for r in rows]
+        # lone-file rule: a single bucketed candidate is a pointless concat;
+        # a lone UNBUCKETED file still gets rewritten (bucketizing it removes
+        # a permanent MERGE probe candidate)
+        if len(cand) == 1 and not (bucketed and cand[0].bucket is None):
+            return []
+        return cand
+
+    ratio_hit = (F.col("record_count") > 0) & (
+        dn / F.col("record_count") >= F.lit(delete_ratio)
+    )
+    need = 2 if mode == "force_regular" else min_files
+    # limit(max(need, max_files)): enough rows to distinguish "fewer than
+    # ``need`` candidates exist" (-> skip) from "plenty exist" (-> take the
+    # ``max_files`` smallest); ties broken by path so the order is a total
+    # one, matching the driver path exactly
+    rows = (
+        df.filter(small | unindexed | ratio_hit)
+        .orderBy("file_size_bytes", "path")
+        .limit(max(need, max_files))
+        .drop("dn")
+        .collect()
+    )
+    cand = [_row_to_entry(r) for r in rows]
+    if len(cand) < need:
+        return []
+    return cand[:max_files]

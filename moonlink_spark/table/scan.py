@@ -150,3 +150,37 @@ def scan(
 def scan_at_lsn(spark: SparkSession, table: Table, lsn: int, **kw) -> DataFrame:
     snap = table.snapshot_at_lsn(lsn)
     return scan(spark, table, snapshot_id=snap.snapshot_id, **kw)
+
+
+def scan_range(
+    spark: SparkSession,
+    table: Table,
+    key: str,
+    lo,
+    hi,
+    snapshot_id: int | None = None,
+    **kw,
+) -> DataFrame:
+    """Key-range scan with manifest-stat file pruning BEFORE the read plan
+    is built, plus the residual row filter.
+
+    File-level pruning runs distributed over parquet manifests when the
+    table is at that scale (table/planning.py — driver holds O(survivors)),
+    else driver-side over the same bounds; semantics are identical and files
+    lacking bounds are always kept. The residual ``key BETWEEN lo AND hi``
+    filter then lands on the parquet scan as a pushed predicate, so row-group
+    stats prune within the surviving files too.
+    """
+    from moonlink_spark.table.planning import plan_data_candidates
+
+    planned = plan_data_candidates(
+        spark, table, key, lo, hi, snapshot_id=snapshot_id
+    )
+    if planned is not None:
+        entries = planned[0]
+    else:
+        entries = prune_entries(
+            table.data_entries(snapshot_id), key, lo, hi
+        )
+    df = scan(spark, table, snapshot_id=snapshot_id, data_entries=entries, **kw)
+    return df.filter((F.col(key) >= F.lit(lo)) & (F.col(key) <= F.lit(hi)))

@@ -124,6 +124,65 @@ def test_json_table_not_plannable_but_merge_still_works(spark, tmp_path):
     assert all(m.endswith(".json") for m in snap.manifests)
 
 
+@pytest.mark.parametrize("mode", ["best_effort", "force_regular", "full"])
+def test_plan_compaction_matches_driver_selection(spark, ptable, mode):
+    """Distributed compaction candidate selection == select_candidates for
+    every trigger mode, on a table with deletes + unbucketed files."""
+    from moonlink_spark.operators.compact import _delete_counts, select_candidates
+    from moonlink_spark.table.planning import plan_compaction_candidates
+
+    _load(spark, ptable)  # merges leave unbucketed inserts + delete files
+    del_counts = _delete_counts(spark, ptable)
+    kw = dict(
+        mode=mode,
+        target_bytes=1 << 20,
+        min_files=2,
+        max_files=3,
+        delete_ratio=0.01,
+    )
+    planned = plan_compaction_candidates(
+        spark, ptable, del_counts, bucketed=True, **kw
+    )
+    assert planned is not None
+    drv = select_candidates(ptable, del_counts, **kw)
+    assert [e.path for e in planned] == [e.path for e in drv] or sorted(
+        e.path for e in planned
+    ) == sorted(e.path for e in drv)
+    if mode != "full":  # ordered paths must agree exactly after sort+limit
+        assert [e.path for e in planned] == [e.path for e in drv]
+
+
+def test_scan_range_distributed_and_driver_agree(spark, ptable, tmp_path):
+    """scan_range returns identical rows through the distributed planner
+    (parquet manifests) and the driver-side prune (json manifests), and
+    matches a plain scan + filter."""
+    from moonlink_spark.table.scan import scan_range
+
+    gen, ref = _load(spark, ptable)
+    jt = create_table(str(tmp_path / "jt2"), IMAGES_SCHEMA)
+    _load(spark, jt)  # same seed -> identical content
+    lo, hi = "img000000000050", "img000000000150"
+
+    exp = (
+        scan(spark, ptable)
+        .filter((F.col("image_id") >= lo) & (F.col("image_id") <= hi))
+        .select("image_id", "caption")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert len(exp) > 0
+    for t in (ptable, jt):
+        got = (
+            scan_range(spark, t, "image_id", lo, hi)
+            .select("image_id", "caption")
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(exp), t.md.properties
+
+
 def test_auto_upgrade_to_parquet_above_threshold(tmp_path, monkeypatch):
     """A JSON-format table still writes parquet manifests past the entry
     count where a single JSON document becomes a driver hazard."""
