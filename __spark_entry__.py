@@ -492,6 +492,21 @@ def q_engine_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan(spark, t).select(*_LIFECYCLE_COLS)
 
 
+def q_engine_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: key-range scan (scan_range) over the post-MERGE snapshot
+    — file pruning runs DISTRIBUTED over parquet manifests
+    (plan_data_candidates), then the residual predicate pushes into the
+    parquet scan. String-lexicographic bounds match the SQL oracle's VARCHAR
+    BETWEEN semantics."""
+    from moonlink_spark.table.format import MANIFEST_FORMAT_PROP
+    from moonlink_spark.table.scan import scan_range
+
+    t = _lifecycle_table(
+        spark, sf_dir, extra_props={MANIFEST_FORMAT_PROP: "parquet"}
+    )
+    return scan_range(spark, t, "image_id", "2", "5").select(*_LIFECYCLE_COLS)
+
+
 def q_engine_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine e2e: MERGE batches then FULL maintenance (bin-pack compaction
     folding deletes + manifest rewrite + snapshot expiry) — content must be
@@ -830,6 +845,86 @@ def q_engine_ingest_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engine_rest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: the REST service END-TO-END over real HTTP (moonlink O29
+    incl. transport, rest_api.rs:196-204) — create table via POST, bulk-load
+    via /upload (add_files), upsert/delete/insert row events via /ingest
+    (base64 binary), one sync flush = one MERGE snapshot. Closed form:
+      base   : k%10<3                      (uploaded parquet)
+      upsert : k%10<3  and k%97==1         (caption + ' r2')
+      delete : k%10<3  and k%97==2
+      insert : k%10==6 and k%97==3         (caption 'rest')
+    """
+    import base64
+    import json as _json
+    import tempfile
+    import threading
+    import urllib.request
+
+    from moonlink_spark.service import make_server
+    from moonlink_spark.table.scan import scan
+
+    k = F.col("o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    wd = tempfile.mkdtemp(prefix="moonlink_rest_")
+    srv = make_server(spark, f"{wd}/tables")
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base_url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def post(path, body):
+        req = urllib.request.Request(
+            f"{base_url}{path}", data=_json.dumps(body).encode(), method="POST"
+        )
+        req.add_header("Content-Type", "application/json")
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            assert resp.status == 200
+            return _json.loads(resp.read())
+
+    try:
+        post("/tables/imgs", {})
+        load_dir = f"{wd}/load"
+        _img_rows(orders.filter(k % 10 < 3)).write.parquet(load_dir)
+        import glob
+
+        post("/upload/imgs", {
+            "operation": "insert",
+            "files": sorted(glob.glob(f"{load_dir}/*.parquet")),
+        })
+
+        def payload(r, caption):
+            return {
+                "image_id": r["image_id"],
+                "bytes": base64.b64encode(caption.encode()).decode(),
+                "w": r["w"], "h": r["h"], "fmt": r["fmt"],
+                "caption": caption, "phash": r["phash"],
+            }
+
+        for r in _img_rows(orders.filter((k % 10 < 3) & (k % 97 == 1))).collect():
+            post("/ingest/imgs", {"operation": "upsert",
+                                  "data": payload(r, r["caption"] + " r2")})
+        for r in orders.filter((k % 10 < 3) & (k % 97 == 2)).select(
+            k.cast("string").alias("image_id")
+        ).collect():
+            post("/ingest/imgs", {"operation": "delete",
+                                  "data": {"image_id": r["image_id"]}})
+        for r in _img_rows(orders.filter((k % 10 == 6) & (k % 97 == 3))).collect():
+            post("/ingest/imgs", {"operation": "insert",
+                                  "data": payload(r, "rest")})
+        ack = post("/ingest/imgs", {"operation": "flush"})
+        assert isinstance(ack["lsn"], int), ack
+
+        t = srv.RequestHandlerClass.state._get("imgs")[0]
+        return scan(spark, t).select(
+            "image_id",
+            "caption",
+            "phash",
+            (F.col("bytes") == F.col("caption").cast("binary")).alias("bytes_ok"),
+        )
+    finally:
+        srv.shutdown()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -851,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "engine_merge_scan": q_engine_merge_scan,
+        "engine_range_scan": q_engine_range_scan,
         "engine_compact_scan": q_engine_compact_scan,
         "engine_cluster_scan": q_engine_cluster_scan,
         "engine_timetravel": q_engine_timetravel,
@@ -858,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_evolve_scan": q_engine_evolve_scan,
         "engine_typed_scan": q_engine_typed_scan,
         "engine_ingest_api": q_engine_ingest_api,
+        "engine_rest_scan": q_engine_rest_scan,
     }
 
 
@@ -1135,6 +1232,19 @@ def oracle_sql() -> dict[str, str]:
                OR (k % 10 = 5 AND k % 3 = 0)
                OR (k % 10 = 7 AND k % 3 = 1)
         """,
+        "engine_range_scan": _LIFECYCLE_BASE_SQL + """
+            SELECT * FROM (
+                SELECT CAST(k AS VARCHAR) AS image_id,
+                       CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
+                            WHEN k % 10 < 3 AND k % 7 = 4 THEN c || ' v3'
+                            ELSE c END AS caption,
+                       ph AS phash
+                FROM base
+                WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 5))
+                   OR (k % 10 = 5 AND k % 3 = 0)
+                   OR (k % 10 = 7 AND k % 3 = 1)
+            ) WHERE image_id BETWEEN '2' AND '5'
+        """,
         "engine_compact_scan": _LIFECYCLE_BASE_SQL + """
             SELECT CAST(k AS VARCHAR) AS image_id,
                    CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
@@ -1221,6 +1331,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(k AS VARCHAR), 'ing', ph, TRUE
             FROM base WHERE k % 10 = 4 AND k % 3 = 0
+        """,
+        "engine_rest_scan": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CASE WHEN k % 97 = 1 THEN c || ' r2' ELSE c END AS caption,
+                   ph AS phash,
+                   TRUE AS bytes_ok
+            FROM base WHERE k % 10 < 3 AND k % 97 <> 2
+            UNION ALL
+            SELECT CAST(k AS VARCHAR), 'rest', ph, TRUE
+            FROM base WHERE k % 10 = 6 AND k % 97 = 3
         """,
         "embedding_topk": """
             SELECT query_id, neighbor_id, rank FROM (
