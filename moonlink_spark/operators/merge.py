@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from moonlink_spark.checkpoint import JobCheckpoint
 from moonlink_spark.functions.salting import ORD_COL, winning_ords
-from moonlink_spark.table.bloom import BLOOM_STAT, prune_by_bloom
+from moonlink_spark.table.bloom import BLOOM_STAT, prune_by_bloom_distributed
 from moonlink_spark.schema import MERGE_KEY
 from moonlink_spark.table.catalog import Table
 from moonlink_spark.table.format import FileEntry, Snapshot
@@ -180,7 +180,9 @@ def merge_cdc_batch(
         key_hashes = (
             winners.select(F.xxhash64(F.col(key)).alias("h")).toPandas()["h"].to_numpy()
         )
-        candidates = prune_by_bloom(candidates, key_hashes)
+        # self-selects: driver numpy for small candidate lists, one Spark
+        # job (O(survivors) driver) past DISTRIBUTED_PROBE_MIN
+        candidates = prune_by_bloom_distributed(spark, candidates, key_hashes)
 
     # 3. probe: column-pruned scan of candidates joined to batch keys; the
     #    matched (file,pos) set goes straight to delete files — the row count

@@ -176,17 +176,9 @@ def bloom_may_contain_any(entry: FileEntry, key_hashes: np.ndarray) -> bool:
         kb = blooms.get(entry.path)
         if not kb:
             return True
-    bits = np.frombuffer(base64.b64decode(kb["b64"]), dtype=np.uint8)
-    m, k = int(kb["m"]), int(kb["k"])
     # chunked with early exit: a file that DOES contain batch keys (the
     # common case for hot files) resolves on the first chunk
-    for lo in range(0, len(key_hashes), 4096):
-        chunk = key_hashes[lo : lo + 4096]
-        pos = _positions(chunk, m, k)
-        hit = (bits[pos >> 3] & np.left_shift(1, (pos & 7)).astype(np.uint8)) != 0
-        if bool(hit.all(axis=0).any()):
-            return True
-    return False
+    return _bits_may_contain_any(kb, key_hashes)
 
 
 def prune_by_bloom(
@@ -198,3 +190,77 @@ def prune_by_bloom(
         return []
     h = np.asarray(key_hashes, dtype=np.int64).view(np.uint64)
     return [e for e in entries if bloom_may_contain_any(e, h)]
+
+
+#: above this many sidecar-bloomed candidates the probe runs as a Spark job
+#: (driver work/memory stays O(survivors)); below it, driver numpy is faster
+#: than a job round-trip. Tests override to force either path.
+DISTRIBUTED_PROBE_MIN = 256
+
+
+def prune_by_bloom_distributed(
+    spark: SparkSession, entries: list[FileEntry], key_hashes: np.ndarray
+) -> list[FileEntry]:
+    """``prune_by_bloom`` semantics with the probe fanned out as one Spark
+    job: candidates are grouped by sidecar ref (one sidecar load per group,
+    in the executor that probes it) against a broadcast of the batch's key
+    hashes, and the driver collects only SURVIVING paths. At the 10^9-file
+    design point a broad batch can leave 10^5-10^6 post-min/max candidates —
+    a driver loop over that many sidecar loads is the old GlobalIndex wall;
+    this keeps the driver at O(survivors) like the manifest planner
+    (reference probe semantics: persisted_bucket_hash_map.rs:276-307).
+
+    Falls back to the driver loop for small candidate lists (a Spark job
+    costs more than probing a handful of cached sidecars) and for entries
+    without a sidecar ref (legacy inline blooms / fresh unbloomed flushes)."""
+    if len(key_hashes) == 0:
+        return []
+    h = np.asarray(key_hashes, dtype=np.int64).view(np.uint64)
+    with_ref = [(e, bloom_sidecar_path(e)) for e in entries]
+    local = [e for e, r in with_ref if r is None]
+    remote = [(e, r) for e, r in with_ref if r is not None]
+    if len(remote) < DISTRIBUTED_PROBE_MIN:
+        return prune_by_bloom(entries, key_hashes)
+
+    kept_local = [e for e in local if bloom_may_contain_any(e, h)]
+    bc = spark.sparkContext.broadcast(h.tobytes())
+
+    def probe(pdfs):
+        hashes = np.frombuffer(bc.value, dtype=np.uint64)
+        for pdf in pdfs:
+            keep = []
+            for ref, grp in pdf.groupby("ref", sort=False):
+                try:
+                    blooms = json.loads(
+                        accessor_for(ref).read_text(ref)
+                    )["blooms"]
+                except FileNotFoundError:
+                    blooms = {}
+                for path in grp["path"]:
+                    kb = blooms.get(path)
+                    if kb is None or _bits_may_contain_any(kb, hashes):
+                        keep.append(path)
+            yield pd.DataFrame({"path": keep})
+
+    cand = spark.createDataFrame(
+        [(e.path, r) for e, r in remote], "path string, ref string"
+    ).repartition("ref")
+    surviving = {
+        r["path"]
+        for r in cand.mapInPandas(probe, schema="path string").collect()
+    }
+    by_path = {e.path: e for e, _ in remote}
+    return kept_local + [by_path[p] for p in sorted(surviving)]
+
+
+def _bits_may_contain_any(kb: dict, key_hashes: np.ndarray) -> bool:
+    """Membership test against one packed bloom dict {m,k,b64}."""
+    bits = np.frombuffer(base64.b64decode(kb["b64"]), dtype=np.uint8)
+    m, k = int(kb["m"]), int(kb["k"])
+    for lo in range(0, len(key_hashes), 4096):
+        chunk = key_hashes[lo : lo + 4096]
+        pos = _positions(chunk, m, k)
+        hit = (bits[pos >> 3] & np.left_shift(1, (pos & 7)).astype(np.uint8)) != 0
+        if bool(hit.all(axis=0).any()):
+            return True
+    return False

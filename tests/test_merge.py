@@ -288,3 +288,41 @@ def test_bloom_sidecar_placement(spark, tmp_path):
     _sidecar_cache.clear()
     os.remove(sidecar)
     assert bloom_may_contain_any(e0, absent)
+
+
+def test_distributed_bloom_probe_matches_driver(spark, tmp_path, monkeypatch):
+    """prune_by_bloom_distributed == prune_by_bloom for every key-set shape:
+    hits in specific files, no hits anywhere, and entries with no bloom at
+    all (always kept). Forced onto the Spark path via DISTRIBUTED_PROBE_MIN."""
+    import moonlink_spark.table.bloom as bloom_mod
+    from moonlink_spark.datagen import generate_images
+    from moonlink_spark.table.bloom import prune_by_bloom, prune_by_bloom_distributed
+    from moonlink_spark.table.format import DATA, FileEntry
+    from moonlink_spark.table.writer import BUCKETS_PROP, write_bucketed_data_files
+
+    t = create_table(
+        str(tmp_path / "dblm"), IMAGES_SCHEMA, properties={BUCKETS_PROP: "4"}
+    )
+    entries = write_bucketed_data_files(
+        spark, generate_images(spark, 1200, partitions=4), t.new_data_dir(),
+        "image_id", 4, max_records_per_file=60,
+    )
+    assert len(entries) >= 16
+    no_bloom = FileEntry(
+        content=DATA, path="/nowhere.parquet", record_count=1,
+        file_size_bytes=1, sequence_number=1, stats={},
+    )
+    entries = entries + [no_bloom]
+    monkeypatch.setattr(bloom_mod, "DISTRIBUTED_PROBE_MIN", 1)
+
+    present = np.array(
+        [r["h"] for r in spark.read.parquet(entries[0].path, entries[3].path)
+         .select(F.xxhash64("image_id").alias("h")).limit(5).collect()],
+        dtype=np.int64,
+    )
+    for hashes in (present, np.array([-1, -2, -3], dtype=np.int64)):
+        want = {e.path for e in prune_by_bloom(entries, hashes)}
+        got = {e.path for e in prune_by_bloom_distributed(spark, entries, hashes)}
+        assert got == want
+        assert no_bloom.path in got  # bloom-less entries always survive
+    assert prune_by_bloom_distributed(spark, entries, np.array([], dtype=np.int64)) == []
