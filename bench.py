@@ -592,9 +592,9 @@ def scaling_report() -> None:
         "inside the same rep. A normalized value >= 0.8 means the engine",
         "scales at least 0.8x as well as the best any software could scale",
         "that work on this host — the sandbox stand-in for the north rule's",
-        "N->4N executor criterion. The audit column is the headline: it is",
-        "the one workload class where this host physically allows scaling,",
-        "and the engine is graded raw AND against the CPU ceiling. The",
+        "N->4N executor criterion. The CPU-dense headline lives in the",
+        "decode-verify addendum below (the audit leg turned out to ride",
+        "the memory wall too — sha2 is too cheap per byte at 32 cores). The",
         "plain-scan column carries its absolute-saturation evidence inline",
         "(GB/s at N vs 4N): equal throughput at both core counts with the",
         "no-Spark read probe equally flat is saturation of the host memory",
