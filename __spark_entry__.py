@@ -535,6 +535,26 @@ def q_engine_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_at_lsn(spark, t, lsn=2).select(*_LIFECYCLE_COLS)
 
 
+def q_engine_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: incremental changelog read (CDC-out, table/changelog.py) —
+    every row event the two MERGE commits applied after the initial load
+    (insert events carry the post-image, delete events the pre-image; an
+    upsert of a live key is a delete+insert pair at one LSN, moonlink's
+    update decomposition, moonlink_sink.rs:286-317)."""
+    from moonlink_spark.table.changelog import (
+        CHANGE_LSN_COL,
+        CHANGE_TYPE_COL,
+        scan_changes,
+    )
+
+    t = _lifecycle_table(spark, sf_dir)
+    return scan_changes(spark, t, 1, 3, columns=_LIFECYCLE_COLS).select(
+        *_LIFECYCLE_COLS,
+        F.col(CHANGE_TYPE_COL).alias("change_type"),
+        F.col(CHANGE_LSN_COL).alias("change_lsn"),
+    )
+
+
 def _img_rows(df: DataFrame) -> DataFrame:
     """orders → image-schema rows (same mapping as _lifecycle_table)."""
     k = F.col("o_orderkey")
@@ -950,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_compact_scan": q_engine_compact_scan,
         "engine_cluster_scan": q_engine_cluster_scan,
         "engine_timetravel": q_engine_timetravel,
+        "engine_changelog": q_engine_changelog,
         "engine_stream_scan": q_engine_stream_scan,
         "engine_evolve_scan": q_engine_evolve_scan,
         "engine_typed_scan": q_engine_typed_scan,
@@ -1275,6 +1296,34 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             WHERE (k % 10 < 3 AND k % 7 <> 2)
                OR (k % 10 = 5 AND k % 3 = 0)
+        """,
+        "engine_changelog": _LIFECYCLE_BASE_SQL + """
+            -- closed-form event stream of the two lifecycle MERGE batches:
+            -- an upsert of a live key = delete(pre-image) + insert(post-image)
+            -- at the same LSN; batch-2 keys (k%7 in 4,5) were untouched by
+            -- batch 1 (k%7 in 1,2), so their pre-images carry the original
+            -- caption
+            SELECT image_id, caption, phash, change_type, change_lsn FROM (
+                SELECT CAST(k AS VARCHAR) AS image_id, c || ' v2' AS caption,
+                       ph AS phash, 'insert' AS change_type,
+                       CAST(2 AS BIGINT) AS change_lsn
+                FROM base WHERE k % 10 < 3 AND k % 7 = 1
+                UNION ALL
+                SELECT CAST(k AS VARCHAR), c, ph, 'insert', 2
+                FROM base WHERE k % 10 = 5 AND k % 3 = 0
+                UNION ALL
+                SELECT CAST(k AS VARCHAR), c, ph, 'delete', 2
+                FROM base WHERE k % 10 < 3 AND k % 7 IN (1, 2)
+                UNION ALL
+                SELECT CAST(k AS VARCHAR), c || ' v3', ph, 'insert', 3
+                FROM base WHERE k % 10 < 3 AND k % 7 = 4
+                UNION ALL
+                SELECT CAST(k AS VARCHAR), c, ph, 'insert', 3
+                FROM base WHERE k % 10 = 7 AND k % 3 = 1
+                UNION ALL
+                SELECT CAST(k AS VARCHAR), c, ph, 'delete', 3
+                FROM base WHERE k % 10 < 3 AND k % 7 IN (4, 5)
+            )
         """,
         "engine_stream_scan": _LIFECYCLE_BASE_SQL + """
             SELECT CAST(k AS VARCHAR) AS image_id,

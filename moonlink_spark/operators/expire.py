@@ -83,6 +83,17 @@ def expire_snapshots(
                 if sp and sp not in keep_files:
                     drop_files.add(sp)
 
+    # advance the changelog floor: commits at or below the highest expired
+    # LSN can no longer be replayed incrementally (table/changelog.py) — the
+    # WAL-truncation boundary of the reference (wal.rs:205-220)
+    from moonlink_spark.table.changelog import MIN_CHANGELOG_LSN_PROP
+
+    props = dict(md.properties)
+    exp_lsns = [int(s.summary["lsn"]) for s in expired if "lsn" in s.summary]
+    if exp_lsns:
+        prev = int(props.get(MIN_CHANGELOG_LSN_PROP, 0))
+        props[MIN_CHANGELOG_LSN_PROP] = str(max(prev, max(exp_lsns)))
+
     new_md = TableMetadata(
         table_uuid=md.table_uuid,
         location=md.location,
@@ -92,7 +103,7 @@ def expire_snapshots(
         last_snapshot_id=md.last_snapshot_id,
         current_snapshot_id=md.current_snapshot_id,
         snapshots=retained,
-        properties=md.properties,
+        properties=props,
         data_location=md.data_location,
     )
     table.replace_metadata(new_md)

@@ -68,16 +68,20 @@ def scan(
     columns: list[str] | None = None,
     with_pos: bool = False,
     data_entries: list[FileEntry] | None = None,
+    delete_entries: list[FileEntry] | None = None,
 ) -> DataFrame:
     """LSN-consistent scan of a snapshot (default: current).
 
     ``data_entries`` lets callers scan a pruned / selected subset of the
     snapshot's files (compaction bins, stat-pruned MERGE probes) while still
-    applying the snapshot's deletes correctly.
+    applying the snapshot's deletes correctly. ``delete_entries`` overrides
+    the delete set the same way (changelog insert reads pass [] because a
+    commit's new files cannot be referenced by its own DVs).
     """
     schema = table.schema
     entries = data_entries if data_entries is not None else table.data_entries(snapshot_id)
-    delete_entries = table.delete_entries(snapshot_id)
+    if delete_entries is None:
+        delete_entries = table.delete_entries(snapshot_id)
 
     out_cols = columns or [f.name for f in schema.fields]
 
