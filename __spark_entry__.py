@@ -376,9 +376,11 @@ def _lifecycle_table(
     sf_dir: str,
     post: str | None = None,
     extra_props: dict | None = None,
+    each_commit: Callable | None = None,
 ):
     """Build an image-schema table from orders; apply two CDC batches via
     merge_cdc_batch; optionally run maintenance. Returns the Table.
+    ``each_commit(table)`` fires after every data commit (replication hook).
 
     CDC design (k = o_orderkey), chosen so the final state is a closed-form
     SQL predicate:
@@ -443,6 +445,8 @@ def _lifecycle_table(
         max_records_per_file=4096,
     )
     t.commit("append", added=entries, lsn=1)
+    if each_commit:
+        each_commit(t)
 
     b1 = cdc(
         orders.filter((k % 10 < 3) & (k % 7 == 1)),
@@ -454,6 +458,8 @@ def _lifecycle_table(
         )
     )
     merge_cdc_batch(spark, t, b1, lsn=2)
+    if each_commit:
+        each_commit(t)
 
     b2 = cdc(
         orders.filter((k % 10 < 3) & (k % 7 == 4)),
@@ -465,6 +471,8 @@ def _lifecycle_table(
         )
     )
     merge_cdc_batch(spark, t, b2, lsn=3)
+    if each_commit:
+        each_commit(t)
 
     if post == "compact":
         optimize_table(spark, t, mode="full", retain_last=2)
@@ -553,6 +561,27 @@ def q_engine_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(CHANGE_TYPE_COL).alias("change_type"),
         F.col(CHANGE_LSN_COL).alias("change_lsn"),
     )
+
+
+def q_engine_sync_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: incremental table→table replication (operators/sync.py) —
+    a replica is synced after EVERY upstream commit by consuming the
+    changelog window it has not seen (moonlink's replication-sink role,
+    moonlink_sink.rs:179-258); the replica's final content must equal the
+    upstream's final MERGE state (same closed form as engine_merge_scan)."""
+    import tempfile
+
+    from moonlink_spark.operators.sync import sync_table
+    from moonlink_spark.schema import IMAGES_SCHEMA
+    from moonlink_spark.table.catalog import create_table
+    from moonlink_spark.table.scan import scan
+
+    wd = tempfile.mkdtemp(prefix="moonlink_sync_")
+    replica = create_table(f"{wd}/replica", IMAGES_SCHEMA)
+    _lifecycle_table(
+        spark, sf_dir, each_commit=lambda src: sync_table(spark, src, replica)
+    )
+    return scan(spark, replica.refresh()).select(*_LIFECYCLE_COLS)
 
 
 def _img_rows(df: DataFrame) -> DataFrame:
@@ -971,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_cluster_scan": q_engine_cluster_scan,
         "engine_timetravel": q_engine_timetravel,
         "engine_changelog": q_engine_changelog,
+        "engine_sync_scan": q_engine_sync_scan,
         "engine_stream_scan": q_engine_stream_scan,
         "engine_evolve_scan": q_engine_evolve_scan,
         "engine_typed_scan": q_engine_typed_scan,
@@ -1243,6 +1273,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _simhash_sql("doc_id < 200"),
         "engine_merge_scan": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
+                        WHEN k % 10 < 3 AND k % 7 = 4 THEN c || ' v3'
+                        ELSE c END AS caption,
+                   ph AS phash
+            FROM base
+            WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 5))
+               OR (k % 10 = 5 AND k % 3 = 0)
+               OR (k % 10 = 7 AND k % 3 = 1)
+        """,
+        # replica synced per-commit over the changelog == upstream final state
+        "engine_sync_scan": _LIFECYCLE_BASE_SQL + """
             SELECT CAST(k AS VARCHAR) AS image_id,
                    CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
                         WHEN k % 10 < 3 AND k % 7 = 4 THEN c || ' v3'

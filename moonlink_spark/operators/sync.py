@@ -1,0 +1,129 @@
+"""Incremental table→table replication over the changelog (CDC relay).
+
+Moonlink's whole reason to exist is being the replication middle layer:
+consume an ordered change stream from an upstream system and keep a
+downstream Iceberg table transactionally in step (sink loop
+src/moonlink_connectors/src/pg_replicate/moonlink_sink.rs:179-258; LSN
+bookkeeping src/moonlink/src/storage/mooncake_table.rs:407-412). This module
+closes the loop *between two tables of this engine*: the upstream table's
+changelog (table/changelog.py) is the ordered stream, and one MERGE commit
+applies each consumed window to the replica — so a replica is maintained
+with O(changes) work per sync, never O(table).
+
+Contract — the replica is *managed*: every commit it receives comes from
+``sync_table``, stamped with the upstream LSN it consumed up to. That makes
+the replica's own ``flush_lsn`` the resume cursor (exactly moonlink's
+"iceberg-persisted LSN = WAL replay start", wal.rs:205-220) — no side
+channel, and a crashed sync resumes correctly because MERGE is idempotent
+at the commit LSN.
+
+Semantics per window ``(cursor, target]``:
+- changelog events map 1:1 to a CDC batch: insert → op 'U' with the
+  post-image, delete → op 'D' (pre-image payload ignored; deletes key only);
+  event LSN becomes the CDC row's ``lsn``.
+- MERGE's latest-wins dedup then collapses the window correctly: a key
+  updated twice keeps the later image; inserted-then-deleted nets to a
+  delete; an upsert's delete+insert pair at one LSN resolves to the insert
+  ('U' > 'D' at equal LSN, functions/salting.py).
+- upstream maintenance (compaction/clustering) emits no events — the
+  replica never re-copies rewritten bytes.
+
+If the cursor has fallen below the upstream's changelog floor (snapshots
+expired), the incremental window is unrecoverable; ``sync_table``
+re-bootstraps from a full snapshot scan — allowed only while the replica is
+empty, because a stale non-empty replica may hold keys whose deletes were
+expired (a loud error tells the operator to recreate the replica).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.operators.merge import MERGE_KEY, MergeResult, merge_cdc_batch
+from moonlink_spark.table.catalog import Table
+from moonlink_spark.table.changelog import (
+    CHANGE_LSN_COL,
+    CHANGE_TYPE_COL,
+    MIN_CHANGELOG_LSN_PROP,
+    scan_changes,
+)
+from moonlink_spark.table.scan import scan
+
+
+@dataclass
+class SyncResult:
+    from_lsn: int
+    to_lsn: int
+    bootstrapped: bool = False
+    skipped: bool = False
+    merge: MergeResult | None = None
+
+
+def _as_cdc(events: DataFrame, cols: list[str]) -> DataFrame:
+    op = F.when(F.col(CHANGE_TYPE_COL) == "insert", F.lit("U")).otherwise(F.lit("D"))
+    return events.select(
+        op.alias("op"),
+        F.col(CHANGE_LSN_COL).cast("long").alias("lsn"),
+        *cols,
+    )
+
+
+def sync_table(
+    spark: SparkSession,
+    src: Table,
+    dst: Table,
+    key: str = MERGE_KEY,
+    checkpoint_root: str | None = None,
+) -> SyncResult:
+    """Advance replica ``dst`` to upstream ``src``'s current LSN.
+
+    Call repeatedly (cron, foreachBatch, after each upstream commit) — each
+    call consumes exactly the upstream window the replica has not seen.
+    Idempotent: re-running after a crash between MERGE and return is a no-op
+    (MERGE skips at an already-flushed LSN).
+    """
+    src.refresh()
+    dst.refresh()
+    src_names = [f.name for f in src.schema.fields]
+    dst_names = [f.name for f in dst.schema.fields]
+    if src_names != dst_names:
+        raise ValueError(
+            f"replica schema mismatch: upstream {src_names} vs replica {dst_names}"
+        )
+
+    cursor = dst.flush_lsn or 0
+    target = src.flush_lsn
+    if target is None or target <= cursor:
+        return SyncResult(cursor, cursor, skipped=True)
+
+    floor = int(src.md.properties.get(MIN_CHANGELOG_LSN_PROP, 0))
+    if cursor < floor:
+        # incremental history gone (upstream expiry) — full re-bootstrap
+        if dst.data_entries():
+            raise ValueError(
+                f"replica cursor lsn={cursor} predates upstream retained "
+                f"history (floor lsn={floor}) and the replica is non-empty; "
+                "recreate the replica to re-bootstrap"
+            )
+        snap = scan(spark, src, columns=src_names)
+        cdc = snap.select(
+            F.lit("U").alias("op"), F.lit(target).cast("long").alias("lsn"), *src_names
+        )
+        res = merge_cdc_batch(
+            spark, dst, cdc, lsn=target, key=key, checkpoint_root=checkpoint_root
+        )
+        return SyncResult(cursor, target, bootstrapped=True, merge=res)
+
+    events = scan_changes(spark, src, cursor, target, columns=src_names)
+    res = merge_cdc_batch(
+        spark,
+        dst,
+        _as_cdc(events, src_names),
+        lsn=target,
+        key=key,
+        checkpoint_root=checkpoint_root,
+    )
+    return SyncResult(cursor, target, merge=res)

@@ -1,0 +1,121 @@
+"""Incremental table→table replication (operators/sync.py).
+
+Oracle: the replica's content must equal the upstream's content after every
+sync — checked as sorted pandas frames. Resume-cursor, idempotence,
+maintenance-invisibility and expiry re-bootstrap semantics mirror moonlink's
+replication loop (moonlink_sink.rs:179-258, wal.rs:205-220).
+"""
+
+import pandas as pd
+import pytest
+
+from moonlink_spark.cdc import CdcScheduleGenerator, to_spark
+from moonlink_spark.operators.expire import expire_snapshots
+from moonlink_spark.operators.maintenance import optimize_table
+from moonlink_spark.operators.merge import merge_cdc_batch
+from moonlink_spark.operators.sync import sync_table
+from moonlink_spark.schema import IMAGES_SCHEMA
+from moonlink_spark.table.catalog import create_table
+from moonlink_spark.table.scan import scan
+
+_COLS = ["image_id", "caption", "phash"]
+
+
+def _content(spark, t) -> pd.DataFrame:
+    pdf = scan(spark, t.refresh(), columns=_COLS).toPandas()
+    return pdf.sort_values(_COLS).reset_index(drop=True)
+
+
+def _assert_in_step(spark, src, dst):
+    pd.testing.assert_frame_equal(
+        _content(spark, src), _content(spark, dst), check_dtype=False
+    )
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    src = create_table(str(tmp_path / "src"), IMAGES_SCHEMA)
+    dst = create_table(str(tmp_path / "dst"), IMAGES_SCHEMA)
+    return src, dst, CdcScheduleGenerator(seed=21)
+
+
+def test_sync_tracks_each_commit(spark, pair):
+    src, dst, gen = pair
+    for sizes in [(100, 0, 0), (20, 30, 15), (0, 10, 25)]:
+        b = gen.next_batch(*sizes)
+        merge_cdc_batch(spark, src, to_spark(spark, b), gen.commit_lsn)
+        res = sync_table(spark, src, dst)
+        assert not res.skipped and not res.bootstrapped
+        assert res.to_lsn == gen.commit_lsn
+        assert dst.refresh().flush_lsn == gen.commit_lsn
+        _assert_in_step(spark, src, dst)
+
+
+def test_sync_multi_commit_window_and_idempotence(spark, pair):
+    src, dst, gen = pair
+    # three upstream commits consumed in ONE window: latest-wins must
+    # collapse update chains and net out insert-then-delete keys
+    for sizes in [(80, 0, 0), (10, 40, 10), (5, 20, 30)]:
+        b = gen.next_batch(*sizes)
+        merge_cdc_batch(spark, src, to_spark(spark, b), gen.commit_lsn)
+    res = sync_table(spark, src, dst)
+    assert res.from_lsn == 0 and res.to_lsn == gen.commit_lsn
+    _assert_in_step(spark, src, dst)
+    # nothing new upstream → no-op, no commit
+    n_snaps = len(dst.refresh().md.snapshots)
+    res2 = sync_table(spark, src, dst)
+    assert res2.skipped
+    assert len(dst.refresh().md.snapshots) == n_snaps
+
+
+def test_sync_skips_upstream_maintenance(spark, pair):
+    src, dst, gen = pair
+    b = gen.next_batch(60, 0, 0)
+    merge_cdc_batch(spark, src, to_spark(spark, b), gen.commit_lsn)
+    sync_table(spark, src, dst)
+    before = _content(spark, dst)
+    # upstream compaction rewrites bytes but changes nothing logical — it
+    # does not advance the upstream LSN, so sync is a pure no-op
+    optimize_table(spark, src, mode="full", retain_last=len(src.md.snapshots) + 2)
+    res = sync_table(spark, src, dst)
+    assert res.skipped
+    pd.testing.assert_frame_equal(before, _content(spark, dst), check_dtype=False)
+    # and a merge AFTER the rewrite still syncs (delete pre-images resolve
+    # against compacted files)
+    b2 = gen.next_batch(5, 10, 8)
+    merge_cdc_batch(spark, src, to_spark(spark, b2), gen.commit_lsn)
+    res2 = sync_table(spark, src, dst)
+    assert not res2.skipped
+    _assert_in_step(spark, src, dst)
+
+
+def test_sync_bootstrap_after_expiry(spark, pair):
+    src, dst, gen = pair
+    for sizes in [(50, 0, 0), (10, 15, 5), (0, 5, 10)]:
+        b = gen.next_batch(*sizes)
+        merge_cdc_batch(spark, src, to_spark(spark, b), gen.commit_lsn)
+    expire_snapshots(src, retain_last=1)  # changelog floor moves past lsn 2
+    res = sync_table(spark, src, dst)  # empty replica: full re-bootstrap
+    assert res.bootstrapped
+    _assert_in_step(spark, src, dst)
+    # a NON-empty replica below the floor must refuse (stale keys whose
+    # deletes were expired could linger silently)
+    stale = create_table(str(src.location) + "_stale", IMAGES_SCHEMA)
+    early = gen.next_batch(5, 0, 0)
+    merge_cdc_batch(spark, stale, to_spark(spark, early), lsn=1)
+    with pytest.raises(ValueError, match="recreate the replica"):
+        sync_table(spark, src, stale)
+
+
+def test_sync_schema_mismatch_raises(spark, tmp_path, pair):
+    src, _, gen = pair
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    other = create_table(
+        str(tmp_path / "other"),
+        StructType([StructField("k", StringType()), StructField("v", LongType())]),
+    )
+    b = gen.next_batch(5, 0, 0)
+    merge_cdc_batch(spark, src, to_spark(spark, b), gen.commit_lsn)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        sync_table(spark, src, other)
