@@ -117,7 +117,11 @@ def sync_table(
         )
         return SyncResult(cursor, target, bootstrapped=True, merge=res)
 
-    events = scan_changes(spark, src, cursor, target, columns=src_names)
+    # deletes apply by key only: prune the pre-image read down to the key
+    # column (the payload — kilobytes per image row — is never materialized)
+    events = scan_changes(
+        spark, src, cursor, target, columns=src_names, preimage_columns=[key]
+    )
     res = merge_cdc_batch(
         spark,
         dst,

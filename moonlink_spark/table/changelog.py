@@ -94,6 +94,7 @@ def scan_changes(
     from_lsn: int,
     to_lsn: int,
     columns: list[str] | None = None,
+    preimage_columns: list[str] | None = None,
 ) -> DataFrame:
     """Row-level changes committed after ``from_lsn`` up to ``to_lsn``.
 
@@ -101,8 +102,18 @@ def scan_changes(
     ('insert' | 'delete' — delete rows carry the pre-image) and
     ``_change_lsn`` (the commit LSN of the event). Consuming
     ``(last_lsn, current_lsn]`` repeatedly yields every event exactly once.
+
+    ``preimage_columns`` narrows what delete events materialize (other
+    columns come back NULL, schema unchanged): a consumer that only needs
+    the identity key to apply deletes (replication, operators/sync.py) makes
+    the pre-image scan column-prune away the payload — at image scale that
+    is the difference between re-reading kilobytes and a few bytes per
+    deleted row.
     """
     cols = columns or [f.name for f in table.schema.fields]
+    pre_cols = preimage_columns if preimage_columns is not None else cols
+    if not set(pre_cols) <= set(cols):
+        raise ValueError(f"preimage_columns {pre_cols} not a subset of {cols}")
     parts: list[DataFrame] = []
 
     for s in _changed_snapshots(table, from_lsn, to_lsn):
@@ -170,7 +181,7 @@ def scan_changes(
                     spark,
                     table,
                     snapshot_id=s.snapshot_id,
-                    columns=cols,
+                    columns=pre_cols,
                     with_pos=True,
                     data_entries=parent_refs,
                     delete_entries=[],
@@ -181,9 +192,16 @@ def scan_changes(
                 cond = (pre[FILE_COL] == dels["file_path"]) & (
                     pre[POS_COL] == dels["pos"]
                 )
+                schema = table.schema
+                out = [
+                    F.col(c)
+                    if c in pre_cols
+                    else F.lit(None).cast(schema[c].dataType).alias(c)
+                    for c in cols
+                ]
                 parts.append(
                     pre.join(dels, cond, "inner").select(
-                        *cols,
+                        *out,
                         F.lit("delete").alias(CHANGE_TYPE_COL),
                         F.lit(lsn).cast("long").alias(CHANGE_LSN_COL),
                     )

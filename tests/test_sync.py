@@ -107,6 +107,31 @@ def test_sync_bootstrap_after_expiry(spark, pair):
         sync_table(spark, src, stale)
 
 
+def test_changelog_keyed_preimage(spark, pair):
+    # delete events with preimage_columns=[key] carry the key and NULL
+    # payload — same schema, pre-image scan column-pruned to the key
+    from moonlink_spark.table.changelog import (
+        CHANGE_TYPE_COL,
+        scan_changes,
+    )
+
+    src, _, gen = pair
+    merge_cdc_batch(spark, src, to_spark(spark, gen.next_batch(50, 0, 0)), gen.commit_lsn)
+    first = gen.commit_lsn
+    merge_cdc_batch(spark, src, to_spark(spark, gen.next_batch(0, 10, 15)), gen.commit_lsn)
+    ev = scan_changes(
+        spark, src, first, gen.commit_lsn,
+        columns=_COLS, preimage_columns=["image_id"],
+    ).toPandas()
+    de = ev[ev[CHANGE_TYPE_COL] == "delete"]
+    assert len(de) == 25 and de["image_id"].notna().all()
+    assert de["caption"].isna().all() and de["phash"].isna().all()
+    ins = ev[ev[CHANGE_TYPE_COL] == "insert"]
+    assert ins["caption"].notna().all()
+    with pytest.raises(ValueError, match="subset"):
+        scan_changes(spark, src, 0, 99, columns=["image_id"], preimage_columns=["caption"])
+
+
 def test_sync_schema_mismatch_raises(spark, tmp_path, pair):
     src, _, gen = pair
     from pyspark.sql.types import LongType, StringType, StructField, StructType
