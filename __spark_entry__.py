@@ -142,19 +142,15 @@ def q_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum_in = F.sum("size_units").over(w_in)
-    # per-group offsets: one tiny agg (rows = #groups) collected and
-    # prefix-summed driver-side — the same place compaction's own bin
-    # planner runs (operators/compact.py plan_bins is driver-side over
-    # manifest entries); no partition ever holds the full file list
-    totals = sorted(
-        (r["__grp"], r["t"])
-        for r in files.groupBy("__grp").agg(F.sum("size_units").alias("t")).collect()
+    # per-group offsets: prefix-sum ONE tiny frame (rows = #groups) with a
+    # global window — single-partition is fine at #groups scale, and the
+    # totals agg reuses the files groupBy exchange (ReusedExchange), so no
+    # second lineitem scan, no driver collect barrier
+    totals = files.groupBy("__grp").agg(F.sum("size_units").alias("t"))
+    w_g = Window.orderBy("__grp").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__grp", F.coalesce(F.sum("t").over(w_g), F.lit(0)).alias("__off")
     )
-    offs, acc = [], 0
-    for g, tot in totals:
-        offs.append((g, acc))
-        acc += tot
-    offsets = spark.createDataFrame(offs, "__grp long, __off long")
     return (
         files.join(F.broadcast(offsets), "__grp")
         .select(

@@ -41,6 +41,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField
 
 from moonlink_spark.operators.merge import MERGE_KEY, MergeResult, merge_cdc_batch
 from moonlink_spark.table.catalog import Table
@@ -71,6 +72,47 @@ def _as_cdc(events: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def _follow_schema(src: Table, dst: Table, key: str) -> None:
+    """Mirror upstream add/drop-column evolution onto the replica.
+
+    Changelog events are always read in the upstream's CURRENT schema
+    (dropped columns gone, added columns NULL for pre-evolution rows —
+    field-id identity resolution, operators/evolve.py), so evolving the
+    replica first keeps the applied window consistent. The merge key must
+    exist on both sides and type changes are not an evolution the engine
+    supports — both are loud errors, not silent evolution: a replica whose
+    key is absent was created against a different table entirely.
+    """
+    src_f = {f.name: f for f in src.schema.fields}
+    dst_f = {f.name: f for f in dst.schema.fields}
+    if key not in src_f or key not in dst_f:
+        raise ValueError(
+            f"replica schema mismatch: key column {key!r} must exist in both "
+            f"upstream {sorted(src_f)} and replica {sorted(dst_f)}"
+        )
+    mismatched = [
+        n for n in src_f.keys() & dst_f.keys()
+        if src_f[n].dataType != dst_f[n].dataType
+    ]
+    if mismatched:
+        raise ValueError(
+            f"replica schema mismatch: column types differ for {mismatched} "
+            "(type changes cannot be replicated)"
+        )
+    from moonlink_spark.operators.evolve import add_columns, drop_columns
+
+    to_drop = [n for n in dst_f if n not in src_f]
+    if to_drop:
+        drop_columns(dst, to_drop)
+    to_add = [
+        StructField(f.name, f.dataType, nullable=True)
+        for f in src.schema.fields
+        if f.name not in dst_f
+    ]
+    if to_add:
+        add_columns(dst, to_add)
+
+
 def sync_table(
     spark: SparkSession,
     src: Table,
@@ -87,12 +129,8 @@ def sync_table(
     """
     src.refresh()
     dst.refresh()
+    _follow_schema(src, dst, key)
     src_names = [f.name for f in src.schema.fields]
-    dst_names = [f.name for f in dst.schema.fields]
-    if src_names != dst_names:
-        raise ValueError(
-            f"replica schema mismatch: upstream {src_names} vs replica {dst_names}"
-        )
 
     cursor = dst.flush_lsn or 0
     target = src.flush_lsn

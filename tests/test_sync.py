@@ -8,6 +8,7 @@ replication loop (moonlink_sink.rs:179-258, wal.rs:205-220).
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from moonlink_spark.cdc import CdcScheduleGenerator, to_spark
 from moonlink_spark.operators.expire import expire_snapshots
@@ -136,6 +137,7 @@ def test_sync_schema_mismatch_raises(spark, tmp_path, pair):
     src, _, gen = pair
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+    # no merge-key column at all → a replica of some other table entirely
     other = create_table(
         str(tmp_path / "other"),
         StructType([StructField("k", StringType()), StructField("v", LongType())]),
@@ -144,3 +146,37 @@ def test_sync_schema_mismatch_raises(spark, tmp_path, pair):
     merge_cdc_batch(spark, src, to_spark(spark, b), gen.commit_lsn)
     with pytest.raises(ValueError, match="schema mismatch"):
         sync_table(spark, src, other)
+    # shared column with a different type → type changes can't replicate
+    retyped = create_table(
+        str(tmp_path / "retyped"),
+        StructType(
+            [StructField("image_id", StringType()), StructField("phash", StringType())]
+        ),
+    )
+    with pytest.raises(ValueError, match="types differ"):
+        sync_table(spark, src, retyped)
+
+
+def test_sync_follows_schema_evolution(spark, pair):
+    # upstream add/drop-column commits are mirrored onto the replica before
+    # the window applies, so a replica never stalls on evolution
+    from pyspark.sql.types import LongType, StructField
+
+    from moonlink_spark.operators.evolve import add_columns, drop_columns
+
+    src, dst, gen = pair
+    merge_cdc_batch(spark, src, to_spark(spark, gen.next_batch(40, 0, 0)), gen.commit_lsn)
+    sync_table(spark, src, dst)
+
+    add_columns(src, [StructField("views", LongType(), True)])
+    drop_columns(src, ["fmt"])
+    b = gen.next_batch(0, 10, 5)
+    merge_cdc_batch(spark, src, to_spark(spark, b).withColumn("views", F.lit(7)), gen.commit_lsn)
+    res = sync_table(spark, src, dst)
+    assert not res.skipped
+    dst.refresh()
+    names = [f.name for f in dst.schema.fields]
+    assert "views" in names and "fmt" not in names
+    _assert_in_step(spark, src, dst)
+    got = scan(spark, dst, columns=["image_id", "views"]).toPandas()
+    assert (got["views"].dropna() == 7).all() and got["views"].notna().sum() == 10
