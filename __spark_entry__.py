@@ -824,6 +824,97 @@ def q_engine_typed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engine_composite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: COMPOSITE row identity (moonlink IdentityProp::Keys,
+    moonlink_row.rs:271-280) over lineitem's natural primary key
+    (l_orderkey, l_linenumber) — create (identity + bucketed layout declared
+    over BOTH columns) → MERGE batch 1 (update one line of an order, delete
+    a sibling line; other lines of the same order must survive) → FULL
+    maintenance (bucketize + blooms hash the composite key) → MERGE batch 2
+    (post-maintenance updates probe the composite-bucketed layout, plus
+    fresh inserts) → scan."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from moonlink_spark.operators.maintenance import optimize_table
+    from moonlink_spark.operators.merge import merge_cdc_batch
+    from moonlink_spark.schema import IDENTITY_PROP
+    from moonlink_spark.table.catalog import create_table
+    from moonlink_spark.table.scan import scan
+    from moonlink_spark.table.writer import BUCKETS_PROP, write_data_files
+
+    lines_schema = StructType(
+        [
+            StructField("okey", LongType(), False),
+            StructField("lineno", IntegerType(), False),
+            StructField("qty", DoubleType(), True),
+            StructField("ret", StringType(), True),
+        ]
+    )
+
+    def rows(df):
+        return df.select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").alias("lineno"),
+            F.col("l_quantity").alias("qty"),
+            F.col("l_returnflag").alias("ret"),
+        )
+
+    def as_cdc(df, lsn):
+        return df.select(
+            F.lit("U").alias("op"), F.lit(lsn).cast("long").alias("lsn"), "*"
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    base = li.filter(ok % 10 < 3)
+    wd = tempfile.mkdtemp(prefix="moonlink_composite_")
+    t = create_table(
+        f"{wd}/tbl",
+        lines_schema,
+        properties={IDENTITY_PROP: "okey,lineno", BUCKETS_PROP: "16"},
+    )
+    t.commit(
+        "append",
+        added=write_data_files(
+            spark, rows(base), t.new_data_dir(), field_id_schema=t.schema
+        ),
+        lsn=1,
+    )
+
+    # batch 1: update line 1 of every okey%5==1 order; delete line 2 of
+    # every okey%5==2 order — sibling lines with the same okey but another
+    # lineno are DIFFERENT identities and must be untouched
+    upd1 = rows(base.filter((ok % 5 == 1) & (ln == 1))).withColumn(
+        "qty", F.col("qty") + F.lit(100.0)
+    )
+    del1 = rows(base.filter((ok % 5 == 2) & (ln == 2))).select(
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("lsn"), "*"
+    )
+    merge_cdc_batch(spark, t, as_cdc(upd1, 2).unionByName(del1), lsn=2)
+
+    optimize_table(spark, t, mode="full", retain_last=2)
+
+    # batch 2 (post-maintenance, probes the composite-bucketed layout):
+    # update line 3 of okey%5==3 orders; insert lineitem rows from a
+    # disjoint okey class as brand-new identities
+    upd2 = rows(base.filter((ok % 5 == 3) & (ln == 3))).withColumn(
+        "qty", F.col("qty") * F.lit(2.0)
+    )
+    ins2 = rows(li.filter(ok % 10 == 4))
+    merge_cdc_batch(spark, t, as_cdc(upd2.unionByName(ins2), 3), lsn=3)
+
+    return scan(spark, t).select("okey", "lineno", "qty", "ret")
+
+
 def q_engine_ingest_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine e2e: the REST row-event contract (moonlink O29,
     rest_ingest/event_request.rs:10-26 — Insert/Upsert/Delete row events,
@@ -1000,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_stream_scan": q_engine_stream_scan,
         "engine_evolve_scan": q_engine_evolve_scan,
         "engine_typed_scan": q_engine_typed_scan,
+        "engine_composite_scan": q_engine_composite_scan,
         "engine_ingest_api": q_engine_ingest_api,
         "engine_rest_scan": q_engine_rest_scan,
     }
@@ -1406,6 +1498,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(k % 100 AS INTEGER) AS meta_a,
                    CASE WHEN up1 THEN pr || ' v2' ELSE pr END AS meta_b
             FROM final
+        """,
+        "engine_composite_scan": """
+            -- final state under composite identity (okey, lineno): base
+            -- okey%10<3; b1 updates (okey%5=1, lineno=1) qty+100 and deletes
+            -- (okey%5=2, lineno=2) ONLY (sibling linenos survive); full
+            -- maintenance is content-neutral; b2 doubles qty at
+            -- (okey%5=3, lineno=3) and inserts all okey%10=4 rows
+            WITH src AS (
+                SELECT l_orderkey AS okey, l_linenumber AS lineno,
+                       l_quantity AS qty, l_returnflag AS ret
+                FROM lineitem
+            )
+            SELECT okey, lineno,
+                   CASE WHEN okey % 5 = 1 AND lineno = 1 THEN qty + 100.0
+                        WHEN okey % 5 = 3 AND lineno = 3 THEN qty * 2.0
+                        ELSE qty END AS qty,
+                   ret
+            FROM src
+            WHERE okey % 10 < 3 AND NOT (okey % 5 = 2 AND lineno = 2)
+            UNION ALL
+            SELECT okey, lineno, qty, ret FROM src WHERE okey % 10 = 4
         """,
         "engine_ingest_api": _LIFECYCLE_BASE_SQL + """
             SELECT CAST(k AS VARCHAR) AS image_id,

@@ -58,26 +58,32 @@ ORD_COL = "__ord"
 
 
 def winning_ords(
-    df: DataFrame, key: str, order_col: str, tiebreak_col: str | None = None
+    df: DataFrame,
+    key: str | list[str],
+    order_col: str,
+    tiebreak_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(staged, winners): ``staged`` = df + ``__ord`` struct column;
     ``winners`` = per-key max __ord — a TINY frame (key + order columns only,
     no payload). The groupBy is map-side combined by Spark, so a hot key
     reaching the reducer carries at most one row per map task — no explicit
-    salting needed for the aggregation."""
+    salting needed for the aggregation. ``key`` may be a composite column
+    list (moonlink IdentityProp::Keys, moonlink_row.rs:271-280)."""
+    from moonlink_spark.schema import normalize_keys
+
     ord_expr = (
         F.struct(F.col(order_col), F.col(tiebreak_col))
         if tiebreak_col
         else F.struct(F.col(order_col))
     )
     staged = df.withColumn(ORD_COL, ord_expr)
-    winners = staged.groupBy(key).agg(F.max(ORD_COL).alias(ORD_COL))
+    winners = staged.groupBy(*normalize_keys(key)).agg(F.max(ORD_COL).alias(ORD_COL))
     return staged, winners
 
 
 def latest_wins_dedup(
     df: DataFrame,
-    key: str,
+    key: str | list[str],
     order_col: str,
     tiebreak_col: str | None = None,
     salt_buckets: int | None = None,  # kept for API compat; see note below
@@ -107,7 +113,14 @@ def latest_wins_dedup(
     NULL keys are handled: the join is null-safe, so a NULL-key group
     dedups like any other group instead of being silently dropped.
     """
-    staged, winners = winning_ords(df, key, order_col, tiebreak_col)
-    w = winners.withColumnRenamed(key, "__wk").withColumnRenamed(ORD_COL, "__wo")
-    cond = staged[key].eqNullSafe(F.col("__wk")) & (staged[ORD_COL] == F.col("__wo"))
+    from moonlink_spark.schema import normalize_keys
+
+    keys = normalize_keys(key)
+    staged, winners = winning_ords(df, keys, order_col, tiebreak_col)
+    w = winners.withColumnRenamed(ORD_COL, "__wo")
+    for i, k in enumerate(keys):
+        w = w.withColumnRenamed(k, f"__wk{i}")
+    cond = staged[ORD_COL] == F.col("__wo")
+    for i, k in enumerate(keys):
+        cond = cond & staged[k].eqNullSafe(F.col(f"__wk{i}"))
     return staged.join(w, cond, "left_semi").drop(ORD_COL)

@@ -35,14 +35,15 @@ from pyspark.sql import functions as F
 from moonlink_spark.checkpoint import JobCheckpoint
 from moonlink_spark.functions.salting import ORD_COL, winning_ords
 from moonlink_spark.table.bloom import BLOOM_STAT, prune_by_bloom_distributed
-from moonlink_spark.schema import MERGE_KEY
+from moonlink_spark.schema import MERGE_KEY, normalize_keys, table_identity
 from moonlink_spark.table.catalog import Table
 from moonlink_spark.table.format import FileEntry, Snapshot
 from moonlink_spark.table.planning import plan_data_candidates
 from moonlink_spark.table.scan import FILE_COL, POS_COL, prune_entries, scan
 from moonlink_spark.table.writer import (
     FLUSH_TARGET_BYTES,
-    bucket_id,
+    bucket_expr,
+    table_bucket_key,
     table_buckets,
     write_data_files,
     write_delete_files,
@@ -88,7 +89,7 @@ def merge_cdc_batch(
     table: Table,
     cdc_df: DataFrame,
     lsn: int,
-    key: str = MERGE_KEY,
+    key: str | list[str] | None = None,
     dedup_salt_buckets: int = 16,  # retained for API compat (skew is handled structurally; see salting.latest_wins_dedup)
     avg_row_bytes: int | None = None,  # None: estimated from manifest stats
     checkpoint_root: str | None = None,
@@ -98,50 +99,73 @@ def merge_cdc_batch(
     Idempotent: if the table's flush LSN is already >= ``lsn`` the batch was
     committed by a previous attempt and this is a no-op (moonlink's WAL-replay
     guarantee, reference: src/moonlink/src/storage/wal.rs:205-220).
+
+    ``key``: the row-identity columns — a single name, a composite list
+    (moonlink IdentityProp::Keys, moonlink_row.rs:271-280; FullRow = every
+    column), or None to use the table's declared identity (IDENTITY_PROP,
+    default MERGE_KEY). All identity columns must be non-null.
     """
     table.refresh()
     if table.flush_lsn is not None and table.flush_lsn >= lsn:
         return MergeResult(None, 0, 0, 0, skipped=True)
+    keys = normalize_keys(key) if key is not None else table_identity(table)
 
     ckpt = (
         JobCheckpoint(checkpoint_root, f"merge-lsn{lsn}") if checkpoint_root else None
     )
 
     # 1. latest-wins dedup inside the batch: one map-side-combined agg over
-    #    (key, lsn, op) gives the per-key winner set — TINY (no payload), so
+    #    (keys, lsn, op) gives the per-key winner set — TINY (no payload), so
     #    it is the thing we cache; the image payload itself never shuffles
     #    (the semi join below broadcasts the winners via AQE)
-    staged, winners = winning_ords(cdc_df, key, "lsn", tiebreak_col="op")
+    staged, winners = winning_ords(cdc_df, keys, "lsn", tiebreak_col="op")
     winners = winners.cache()
 
-    # 2. ONE driver-blocking job over the winner set: batch size + key
-    #    bounds + upsert count + the batch's key-bucket set (materializes the
-    #    winners cache)
+    # 2. ONE driver-blocking job over the winner set: batch size + per-column
+    #    key bounds + upsert count + the batch's key-bucket set (materializes
+    #    the winners cache). Bucket/bloom pruning applies only when the
+    #    table's physical layout key IS this batch's identity — build and
+    #    probe must hash the same columns or pruning would silently drop
+    #    files that DO contain batch keys.
     buckets = table_buckets(table)
+    use_layout = bool(buckets) and table_bucket_key(table) == keys
     bucket_agg = (
-        [F.collect_set(bucket_id(F.col(key), buckets)).alias("bks")]
-        if buckets
+        [F.collect_set(bucket_expr(keys, buckets)).alias("bks")]
+        if use_layout
         else []
     )
+    # min/max bounds only for orderable atomic columns (binary/complex
+    # identity columns — FullRow tables — carry no stats bounds)
+    boundable = [
+        k
+        for k in keys
+        if table.schema[k].dataType.simpleString()
+        not in ("binary",)
+        and not table.schema[k].dataType.simpleString().startswith(("array", "map", "struct"))
+    ]
+    null_key = F.lit(False)
+    for k in keys:
+        null_key = null_key | F.col(k).isNull()
     agg = winners.agg(
         F.count("*").alias("n"),
-        F.min(key).alias("lo"),
-        F.max(key).alias("hi"),
         F.sum((F.col(ORD_COL)["op"] == "U").cast("long")).alias("n_up"),
-        F.sum(F.col(key).isNull().cast("long")).alias("n_null_key"),
+        F.sum(null_key.cast("long")).alias("n_null_key"),
+        *[F.min(k).alias(f"__lo_{k}") for k in boundable],
+        *[F.max(k).alias(f"__hi_{k}") for k in boundable],
         *bucket_agg,
     ).collect()[0]
     n_cdc = agg["n"]
-    # A NULL merge key has no identity to upsert/delete against (moonlink
-    # validates identity at table creation, mooncake_table.rs:126-136). The
-    # inline semi join below would silently drop such rows — fail loudly
-    # instead so the producer fixes the batch.
+    # A NULL identity column has no identity to upsert/delete against
+    # (moonlink validates identity at table creation,
+    # mooncake_table.rs:126-136). The inline semi join below would silently
+    # drop such rows — fail loudly instead so the producer fixes the batch.
     if agg["n_null_key"]:
         raise ValueError(
-            f"CDC batch has {agg['n_null_key']} rows with NULL merge key "
-            f"'{key}'; MERGE requires a non-null identity key"
+            f"CDC batch has {agg['n_null_key']} rows with a NULL identity "
+            f"column (keys={keys}); MERGE requires non-null identity"
         )
-    deduped = staged.join(winners, [key, ORD_COL], "left_semi").drop(ORD_COL)
+    bounds = [(k, agg[f"__lo_{k}"], agg[f"__hi_{k}"]) for k in boundable]
+    deduped = staged.join(winners, [*keys, ORD_COL], "left_semi").drop(ORD_COL)
 
     # prune candidate data files — the GlobalIndex probe, three stages
     # (reference: src/moonlink/src/storage/index/persisted_bucket_hash_map.rs:276-307):
@@ -153,13 +177,18 @@ def merge_cdc_batch(
     # that scale (table/planning.py — driver holds O(survivors), never
     # O(table)); small/JSON-manifest tables prune driver-side. Identical
     # semantics either way.
-    batch_buckets = set(agg["bks"]) if buckets else None
+    batch_buckets = set(agg["bks"]) if use_layout else None
     total_files = None
     candidates: list[FileEntry] = []
-    if agg["lo"] is not None:
+    if n_cdc > 0:
         planned = plan_data_candidates(
-            spark, table, key, agg["lo"], agg["hi"], batch_buckets=batch_buckets
-        )
+            spark,
+            table,
+            [b[0] for b in bounds],
+            [b[1] for b in bounds],
+            [b[2] for b in bounds],
+            batch_buckets=batch_buckets,
+        ) if bounds or batch_buckets is not None else None
         if planned is not None:
             candidates, total_files = planned
         else:
@@ -172,13 +201,20 @@ def merge_cdc_batch(
                     for e in candidates
                     if e.bucket is None or e.bucket in batch_buckets
                 ]
-            candidates = prune_entries(candidates, key, agg["lo"], agg["hi"])
+            for k, klo, khi in bounds:
+                if klo is not None and khi is not None:
+                    candidates = prune_entries(candidates, k, klo, khi)
     pre_bloom = len(candidates)
-    if candidates and n_cdc <= _BLOOM_PROBE_MAX_KEYS and any(
+    # bloom pruning shares the layout-key guard: blooms are BUILT over the
+    # table's bucket key at write time, so probing them with a different
+    # identity's hashes would prune files that do contain batch keys
+    if use_layout and candidates and n_cdc <= _BLOOM_PROBE_MAX_KEYS and any(
         BLOOM_STAT in e.stats for e in candidates
     ):
         key_hashes = (
-            winners.select(F.xxhash64(F.col(key)).alias("h")).toPandas()["h"].to_numpy()
+            winners.select(F.xxhash64(*[F.col(k) for k in keys]).alias("h"))
+            .toPandas()["h"]
+            .to_numpy()
         )
         # self-selects: driver numpy for small candidate lists, one Spark
         # job (O(survivors) driver) past DISTRIBUTED_PROBE_MIN
@@ -187,7 +223,7 @@ def merge_cdc_batch(
     # 3. probe: column-pruned scan of candidates joined to batch keys; the
     #    matched (file,pos) set goes straight to delete files — the row count
     #    comes back from the written footers, no separate count job
-    cdc_keys = winners.select(key)
+    cdc_keys = winners.select(*keys)
     if n_cdc <= _BROADCAST_CDC_ROWS:
         cdc_keys = F.broadcast(cdc_keys)
 
@@ -195,9 +231,9 @@ def merge_cdc_batch(
         if not candidates:
             return []
         probe = scan(
-            spark, table, columns=[key], with_pos=True, data_entries=candidates
+            spark, table, columns=keys, with_pos=True, data_entries=candidates
         )
-        matched = probe.join(cdc_keys, key, "inner").select(
+        matched = probe.join(cdc_keys, keys, "inner").select(
             F.col(FILE_COL).alias("file_path"), F.col(POS_COL).alias("pos")
         )
         # delete rows are tiny: the DV pack (groupBy file_path inside

@@ -72,7 +72,7 @@ def _as_cdc(events: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
-def _follow_schema(src: Table, dst: Table, key: str) -> None:
+def _follow_schema(src: Table, dst: Table, keys: list[str]) -> None:
     """Mirror upstream add/drop-column evolution onto the replica.
 
     Changelog events are always read in the upstream's CURRENT schema
@@ -85,10 +85,11 @@ def _follow_schema(src: Table, dst: Table, key: str) -> None:
     """
     src_f = {f.name: f for f in src.schema.fields}
     dst_f = {f.name: f for f in dst.schema.fields}
-    if key not in src_f or key not in dst_f:
+    missing = [k for k in keys if k not in src_f or k not in dst_f]
+    if missing:
         raise ValueError(
-            f"replica schema mismatch: key column {key!r} must exist in both "
-            f"upstream {sorted(src_f)} and replica {sorted(dst_f)}"
+            f"replica schema mismatch: identity column(s) {missing} must "
+            f"exist in both upstream {sorted(src_f)} and replica {sorted(dst_f)}"
         )
     mismatched = [
         n for n in src_f.keys() & dst_f.keys()
@@ -117,7 +118,7 @@ def sync_table(
     spark: SparkSession,
     src: Table,
     dst: Table,
-    key: str = MERGE_KEY,
+    key: str | list[str] | None = None,
     checkpoint_root: str | None = None,
 ) -> SyncResult:
     """Advance replica ``dst`` to upstream ``src``'s current LSN.
@@ -127,13 +128,23 @@ def sync_table(
     Idempotent: re-running after a crash between MERGE and return is a no-op
     (MERGE skips at an already-flushed LSN).
     """
+    from moonlink_spark.schema import normalize_keys, table_identity
+
     src.refresh()
     dst.refresh()
-    _follow_schema(src, dst, key)
+    keys = normalize_keys(key) if key is not None else table_identity(src)
+    _follow_schema(src, dst, keys)
     src_names = [f.name for f in src.schema.fields]
 
     cursor = dst.flush_lsn or 0
     target = src.flush_lsn
+    if target is not None and target < cursor:
+        # upstream rolled back past what the replica already applied — the
+        # replica holds undone rows; only a rebuild restores consistency
+        raise ValueError(
+            f"upstream rolled back to lsn={target} but the replica has "
+            f"applied lsn={cursor}; recreate the replica to re-sync"
+        )
     if target is None or target <= cursor:
         return SyncResult(cursor, cursor, skipped=True)
 
@@ -151,21 +162,21 @@ def sync_table(
             F.lit("U").alias("op"), F.lit(target).cast("long").alias("lsn"), *src_names
         )
         res = merge_cdc_batch(
-            spark, dst, cdc, lsn=target, key=key, checkpoint_root=checkpoint_root
+            spark, dst, cdc, lsn=target, key=keys, checkpoint_root=checkpoint_root
         )
         return SyncResult(cursor, target, bootstrapped=True, merge=res)
 
     # deletes apply by key only: prune the pre-image read down to the key
     # column (the payload — kilobytes per image row — is never materialized)
     events = scan_changes(
-        spark, src, cursor, target, columns=src_names, preimage_columns=[key]
+        spark, src, cursor, target, columns=src_names, preimage_columns=keys
     )
     res = merge_cdc_batch(
         spark,
         dst,
         _as_cdc(events, src_names),
         lsn=target,
-        key=key,
+        key=keys,
         checkpoint_root=checkpoint_root,
     )
     return SyncResult(cursor, target, merge=res)

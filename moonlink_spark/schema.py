@@ -24,6 +24,29 @@ from pyspark.sql.types import (
 
 MERGE_KEY = "image_id"
 
+# Row identity — moonlink's IdentityProp (reference:
+# src/moonlink/src/row/moonlink_row.rs:271-280): SinglePrimitiveKey is a
+# one-element key list, Keys([...]) a composite key, FullRow the whole row
+# (identity = every column), None maps to the plain append path (no
+# upsert/delete identity — table/writer.write_data_files + commit).
+# Declared once per table via this property (comma-joined column names);
+# MERGE/sync/changelog default to it when no key is passed.
+IDENTITY_PROP = "moonlink.identity-keys"
+
+
+def normalize_keys(key) -> list[str]:
+    """A key argument (single column name or list of names) as a list."""
+    return [key] if isinstance(key, str) else list(key)
+
+
+def table_identity(table) -> list[str]:
+    """The table's declared identity-key columns (IDENTITY_PROP), falling
+    back to the single canonical MERGE_KEY."""
+    v = table.md.properties.get(IDENTITY_PROP)
+    if not v:
+        return [MERGE_KEY]
+    return [c.strip() for c in v.split(",") if c.strip()]
+
 IMAGES_SCHEMA = StructType(
     [
         StructField("image_id", StringType(), False),

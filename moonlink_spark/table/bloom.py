@@ -98,7 +98,7 @@ def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
 def attach_key_blooms(
     spark: SparkSession,
     entries: list[FileEntry],
-    key: str,
+    key: str | list[str],
     sidecar_dir: str | None = None,
 ) -> list[FileEntry]:
     """Build one bloom per data file (over xxhash64 of its key values),
@@ -107,12 +107,15 @@ def attach_key_blooms(
     reference in each entry's stats. One column-pruned Spark job over the
     given files — batch per COMMIT, never per bin; mutates and returns
     ``entries``."""
+    from moonlink_spark.schema import normalize_keys
+
     if not entries:
         return entries
+    key_cols = [F.col(c) for c in normalize_keys(key)]
     hashes = (
         spark.read.parquet(*[e.path for e in entries])
         .select(
-            F.xxhash64(F.col(key)).alias("h"),
+            F.xxhash64(*key_cols).alias("h"),
             F.regexp_replace(F.col("_metadata.file_path"), r"^file:/+", "/").alias("f"),
         )
     )

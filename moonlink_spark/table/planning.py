@@ -73,7 +73,7 @@ def _row_to_entry(r) -> FileEntry:
 def plan_data_candidates(
     spark: SparkSession,
     table: Table,
-    key: str,
+    key,
     lo,
     hi,
     batch_buckets: set[int] | None = None,
@@ -86,8 +86,18 @@ def plan_data_candidates(
 
     Semantics match the driver path exactly: a file survives when
     (a) its bucket is unset or in the batch's bucket set, AND
-    (b) its [min,max] bounds for ``key`` are absent or intersect [lo, hi].
+    (b) for EVERY key column, its [min,max] bounds are absent or intersect
+        the batch's [lo, hi] for that column.
+
+    ``key`` may be a composite column list (IdentityProp::Keys), with ``lo``
+    / ``hi`` aligned lists of per-column batch bounds; a None bound (e.g. a
+    binary identity column with no orderable stats) skips that column's test.
     """
+    from moonlink_spark.schema import normalize_keys
+
+    keys = normalize_keys(key)
+    los = lo if isinstance(lo, (list, tuple)) else [lo]
+    his = hi if isinstance(hi, (list, tuple)) else [hi]
     if not plannable(table, snapshot_id):
         return None
     snap = (
@@ -102,16 +112,17 @@ def plan_data_candidates(
         keep = F.col("bucket").isNull() | F.col("bucket").isin(
             [int(b) for b in batch_buckets]
         )
-    # bounds live in the per-entry stats JSON; cast to the key's table type
+    # bounds live in the per-entry stats JSON; cast to each key's table type
     # so interval overlap compares typed values, not strings
-    key_type = {f.name: f.dataType.simpleString() for f in table.schema.fields}.get(
-        key, "string"
-    )
-    mn = F.get_json_object("stats", f"$.{key}.min").cast(key_type)
-    mx = F.get_json_object("stats", f"$.{key}.max").cast(key_type)
-    keep = keep & (
-        mn.isNull() | mx.isNull() | ~((mx < F.lit(lo)) | (mn > F.lit(hi)))
-    )
+    types = {f.name: f.dataType.simpleString() for f in table.schema.fields}
+    for k, klo, khi in zip(keys, los, his):
+        if klo is None or khi is None:
+            continue
+        mn = F.get_json_object("stats", f"$.{k}.min").cast(types.get(k, "string"))
+        mx = F.get_json_object("stats", f"$.{k}.max").cast(types.get(k, "string"))
+        keep = keep & (
+            mn.isNull() | mx.isNull() | ~((mx < F.lit(klo)) | (mn > F.lit(khi)))
+        )
     # survivors stream to the driver per-partition (no single-task gather),
     # so driver memory is O(survivors), never O(table); the total is a
     # second metadata-scale job (manifest bytes ~ 10^-5 of table bytes)

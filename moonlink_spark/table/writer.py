@@ -61,22 +61,37 @@ def bucket_id(key_col: Column | str, buckets: int) -> Column:
     return F.pmod(F.xxhash64(key_col), F.lit(buckets)).cast("int")
 
 
+def bucket_expr(key: str | list[str], buckets: int) -> Column:
+    """``bucket_id`` over a (possibly composite) key column list — one
+    xxhash64 over all identity columns, so build and probe agree for
+    IdentityProp::Keys tables (moonlink_row.rs:271-280)."""
+    from moonlink_spark.schema import normalize_keys
+
+    cols = [F.col(c) for c in normalize_keys(key)]
+    return F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
+
+
 def table_buckets(table) -> int | None:
     v = table.md.properties.get(BUCKETS_PROP)
     return int(v) if v else None
 
 
-def table_bucket_key(table) -> str:
-    from moonlink_spark.schema import MERGE_KEY
+def table_bucket_key(table) -> list[str]:
+    """The bucket-layout key columns (BUCKET_KEY_PROP, comma-joined),
+    defaulting to the table's declared identity keys."""
+    from moonlink_spark.schema import table_identity
 
-    return table.md.properties.get(BUCKET_KEY_PROP, MERGE_KEY)
+    v = table.md.properties.get(BUCKET_KEY_PROP)
+    if not v:
+        return table_identity(table)
+    return [c.strip() for c in v.split(",") if c.strip()]
 
 
 def write_bucketed_data_files(
     spark: SparkSession,
     df: DataFrame,
     out_dir: str,
-    key: str,
+    key: str | list[str],
     buckets: int,
     max_records_per_file: int | None = None,
     mode: str = "append",
@@ -102,7 +117,7 @@ def write_bucketed_data_files(
 
         df = stamp_field_ids(df, field_id_schema)
         expected_ids = schema_field_id_map(field_id_schema)
-    w = df.withColumn(_BUCKET_COL, bucket_id(F.col(key), buckets)).repartition(
+    w = df.withColumn(_BUCKET_COL, bucket_expr(key, buckets)).repartition(
         buckets, F.col(_BUCKET_COL)
     )
     writer = w.write.mode(mode).format("parquet").partitionBy(_BUCKET_COL)
