@@ -89,7 +89,16 @@ def expire_snapshots(
     from moonlink_spark.table.changelog import MIN_CHANGELOG_LSN_PROP
 
     props = dict(md.properties)
-    exp_lsns = [int(s.summary["lsn"]) for s in expired if "lsn" in s.summary]
+    # only LINEAGE commits advance the floor: an expired UNDONE snapshot
+    # (forked off by a rollback) can carry an LSN above the table's current
+    # flush LSN, and advancing past that would wrongly invalidate every
+    # future incremental read — undone commits never replay anyway
+    ancestors = table.ancestor_ids()
+    exp_lsns = [
+        int(s.summary["lsn"])
+        for s in expired
+        if "lsn" in s.summary and s.snapshot_id in ancestors
+    ]
     if exp_lsns:
         prev = int(props.get(MIN_CHANGELOG_LSN_PROP, 0))
         props[MIN_CHANGELOG_LSN_PROP] = str(max(prev, max(exp_lsns)))

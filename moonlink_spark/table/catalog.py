@@ -223,6 +223,89 @@ class Table:
         _write_metadata_cas(new_md)
         self.md = new_md
 
+    def ancestor_ids(self, snapshot_id: int | None = None) -> set[int]:
+        """Snapshot ids on the parent chain of ``snapshot_id`` (default:
+        current), inclusive. After a rollback the undone commits fork off
+        this chain — consumers that replay history (changelog, sync) follow
+        the lineage, never the flat snapshot list."""
+        by_id = {s.snapshot_id: s for s in self.md.snapshots}
+        cur = (
+            self.md.current_snapshot()
+            if snapshot_id is None
+            else self.md.snapshot_by_id(snapshot_id)
+        )
+        out: set[int] = set()
+        while cur is not None and cur.snapshot_id not in out:
+            out.add(cur.snapshot_id)
+            cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
+        return out
+
+    def rollback(self, snapshot_id: int | None = None, lsn: int | None = None) -> Snapshot:
+        """Restore the table to an older retained snapshot — Iceberg's
+        rollback: a NEW snapshot whose content (manifests, by reference —
+        O(1) metadata) and LSN are the target's, parented on the TARGET so
+        the undone commits leave the current lineage but stay retained for
+        time-travel until expiry GCs them. The table's flush LSN moves BACK
+        to the target's — moonlink's recovery semantic (replay resumes from
+        the iceberg-persisted LSN, wal.rs:205-220), so re-merging the undone
+        batches is the supported repair path.
+        """
+        self.refresh()
+        md = self.md
+        if (snapshot_id is None) == (lsn is None):
+            raise ValueError("rollback takes exactly one of snapshot_id / lsn")
+        target = (
+            md.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.snapshot_at_lsn(lsn)
+        )
+        if target is None:
+            raise KeyError(f"no retained snapshot {snapshot_id}")
+        cur = md.current_snapshot()
+        if cur is not None and cur.snapshot_id == target.snapshot_id:
+            return cur
+        seq = md.last_sequence_number + 1
+        snap_id = md.last_snapshot_id + 1
+        t_lsn = target.summary.get("lsn")
+        summary = {
+            "operation": "rollback",
+            "added-files": 0,
+            "removed-files": 0,
+            "rollback-to": target.snapshot_id,
+            "rollback-from": cur.snapshot_id if cur else None,
+        }
+        if t_lsn is not None:
+            summary["lsn"] = int(t_lsn)
+        snap = Snapshot(
+            snapshot_id=snap_id,
+            parent_id=target.snapshot_id,
+            sequence_number=seq,
+            timestamp_ms=now_ms(),
+            manifests=list(target.manifests),
+            summary=summary,
+        )
+        write_snapshot(self.metadata_dir, snap)
+        props = dict(md.properties)
+        if t_lsn is not None:
+            props[LSN_PROP] = str(int(t_lsn))
+        else:
+            props.pop(LSN_PROP, None)
+        new_md = TableMetadata(
+            table_uuid=md.table_uuid,
+            location=md.location,
+            schema_json=md.schema_json,
+            version=md.version + 1,
+            last_sequence_number=seq,
+            last_snapshot_id=snap_id,
+            current_snapshot_id=snap_id,
+            snapshots=md.snapshots + [snap],
+            properties=props,
+            data_location=md.data_location,
+        )
+        _write_metadata_cas(new_md)
+        self.md = new_md
+        return snap
+
     # ---------------------------------------------------------- store paths
     def new_data_dir(self) -> str:
         p = os.path.join(self.data_root, "data", uuid.uuid4().hex[:16])

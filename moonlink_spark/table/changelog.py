@@ -55,7 +55,10 @@ MIN_CHANGELOG_LSN_PROP = "moonlink.min-changelog-lsn"
 # invisible to the changelog (Iceberg's changelog skips "replace" snapshots
 # for the same reason). Prefix match so "cluster-zorder"/"cluster-hilbert"
 # and future strategies are covered.
-_REPLACE_OP_PREFIXES = ("compact", "cluster", "rewrite-manifests")
+# ("rollback": a rollback snapshot is content-identical to its target
+# parent — no row events of its own; the UNDONE commits are excluded by the
+# ancestry walk)
+_REPLACE_OP_PREFIXES = ("compact", "cluster", "rewrite-manifests", "rollback")
 # schema-only commits: no row events
 _SCHEMA_OP_PREFIXES = ("add-columns", "drop-columns")
 
@@ -80,8 +83,15 @@ def _changed_snapshots(table: Table, from_lsn: int, to_lsn: int) -> list[Snapsho
             f"changelog from lsn={from_lsn} predates retained history "
             f"(commits up to lsn={floor} are expired); re-bootstrap from a scan"
         )
+    # follow the CURRENT LINEAGE only: after a rollback the undone commits
+    # remain retained (time-travel) but fork off the parent chain — replaying
+    # them would resurrect undone rows (Iceberg's changelog reads ancestry
+    # the same way)
+    ancestors = table.ancestor_ids()
     out = []
     for s in sorted(table.md.snapshots, key=lambda s: s.sequence_number):
+        if s.snapshot_id not in ancestors:
+            continue
         lsn = s.summary.get("lsn")
         if lsn is not None and from_lsn < int(lsn) <= to_lsn:
             out.append(s)
