@@ -580,6 +580,58 @@ def q_engine_sync_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan(spark, replica.refresh()).select(*_LIFECYCLE_COLS)
 
 
+def q_engine_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: snapshot ROLLBACK + replay (Table.rollback — Iceberg's
+    rollback_to_snapshot with moonlink's recovery semantic: the flush LSN
+    moves back so corrected batches replay at the undone LSNs,
+    wal.rs:205-220). Lifecycle: both MERGE batches → rollback to LSN 2
+    (batch 2 forks off the lineage: its ' v3' updates, deletes and inserts
+    must all vanish) → a DIFFERENT corrected batch replays at LSN 3
+    (update k%7==6 with ' r3', delete k%7==0, insert k%10==9 & k%3==0).
+    The final state is closed-form only if the rollback truly erased batch
+    2 and the replay applied on the restored state."""
+    from moonlink_spark.operators.merge import merge_cdc_batch
+    from moonlink_spark.table.scan import scan
+
+    t = _lifecycle_table(spark, sf_dir)
+    t.rollback(lsn=2)
+
+    k = F.col("o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+
+    def rows(df):
+        return df.select(
+            k.cast("string").alias("image_id"),
+            F.col("o_orderpriority").cast("binary").alias("bytes"),
+            (k % 100).cast("int").alias("w"),
+            F.length("o_orderpriority").cast("int").alias("h"),
+            F.col("o_orderstatus").alias("fmt"),
+            F.col("o_orderpriority").alias("caption"),
+            F.col("o_custkey").cast("long").alias("phash"),
+        )
+
+    upd = rows(orders.filter((k % 10 < 3) & (k % 7 == 6))).withColumn(
+        "caption", F.concat(F.col("caption"), F.lit(" r3"))
+    )
+    ins = rows(orders.filter((k % 10 == 9) & (k % 3 == 0)))
+    u = upd.unionByName(ins).select(
+        F.lit("U").alias("op"), F.col("image_id").cast("long").alias("lsn"), "*"
+    )
+    d = orders.filter((k % 10 < 3) & (k % 7 == 0)).select(
+        F.lit("D").alias("op"),
+        k.cast("long").alias("lsn"),
+        k.cast("string").alias("image_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+        F.lit(None).cast("string").alias("fmt"),
+        F.lit(None).cast("string").alias("caption"),
+        F.lit(None).cast("long").alias("phash"),
+    )
+    merge_cdc_batch(spark, t, u.unionByName(d), lsn=3)
+    return scan(spark, t).select(*_LIFECYCLE_COLS)
+
+
 def _img_rows(df: DataFrame) -> DataFrame:
     """orders → image-schema rows (same mapping as _lifecycle_table)."""
     k = F.col("o_orderkey")
@@ -1088,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_timetravel": q_engine_timetravel,
         "engine_changelog": q_engine_changelog,
         "engine_sync_scan": q_engine_sync_scan,
+        "engine_rollback_scan": q_engine_rollback_scan,
         "engine_stream_scan": q_engine_stream_scan,
         "engine_evolve_scan": q_engine_evolve_scan,
         "engine_typed_scan": q_engine_typed_scan,
@@ -1370,6 +1423,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 5))
                OR (k % 10 = 5 AND k % 3 = 0)
                OR (k % 10 = 7 AND k % 3 = 1)
+        """,
+        # state after rollback-to-LSN-2 + corrected replay at LSN 3: batch
+        # 2's effects (v3 updates, k%7=5 deletes, k%10=7 inserts) are GONE;
+        # the replay's update/delete/insert classes apply on the b1 state
+        "engine_rollback_scan": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
+                        WHEN k % 10 < 3 AND k % 7 = 6 THEN c || ' r3'
+                        ELSE c END AS caption,
+                   ph AS phash
+            FROM base
+            WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 0))
+               OR (k % 10 = 5 AND k % 3 = 0)
+               OR (k % 10 = 9 AND k % 3 = 0)
         """,
         # replica synced per-commit over the changelog == upstream final state
         "engine_sync_scan": _LIFECYCLE_BASE_SQL + """
