@@ -118,8 +118,15 @@ def expire_snapshots(
     table.replace_metadata(new_md)
 
     # physical GC strictly after the metadata commit — a crash between the
-    # two leaves harmless orphans, never a broken retained snapshot
-    drop_snaps = {s.file for s in expired if s.file}
+    # two leaves harmless orphans, never a broken retained snapshot.
+    # OWNERSHIP GUARD: delete only objects under this table's own roots —
+    # a shallow clone (operators/clone.py) references the source's files by
+    # absolute path and must never GC them (Delta's shallow-clone rule);
+    # likewise bulk-ingested foreign parquet stays untouched.
+    own_roots = (table.data_root.rstrip("/") + "/", table.location.rstrip("/") + "/")
+    drop_files = {p for p in drop_files if p.startswith(own_roots)}
+    drop_manifests = {p for p in drop_manifests if p.startswith(own_roots)}
+    drop_snaps = {s.file for s in expired if s.file and s.file.startswith(own_roots)}
     for p in drop_files | drop_manifests | drop_snaps:
         accessor_for(p).delete(p)
     return ExpireResult(len(expired), len(drop_files), len(drop_manifests))
