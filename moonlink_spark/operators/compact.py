@@ -87,17 +87,29 @@ class CompactResult:
     metrics: dict | None = None
 
 
-def _delete_counts(spark: SparkSession, table: Table) -> dict[str, int]:
-    """Per-data-file deleted-row counts from the snapshot's delete files
-    (DV bitmaps expanded executor-side; countDistinct folds overlapping
-    positions across delete files)."""
+def _delete_counts_df(spark: SparkSession, table: Table):
+    """Per-data-file deleted-row counts as a DATAFRAME (file_path, n) — DV
+    bitmaps expanded executor-side, countDistinct folds overlapping
+    positions across delete files. Never collected whole: the distributed
+    planner joins it against the manifests (planning.py), and the driver
+    only pulls counts for files it has already selected. None when the
+    snapshot has no deletes."""
     from moonlink_spark.table.dv import read_delete_positions
 
     df = read_delete_positions(spark, table.delete_entries())
     if df is None:
+        return None
+    return df.groupBy("file_path").agg(F.countDistinct("pos").alias("n"))
+
+
+def _delete_counts(spark: SparkSession, table: Table) -> dict[str, int]:
+    """Driver-side dict form of ``_delete_counts_df`` — for JSON-manifest
+    (small) tables and full-rewrite paths where the driver holds the file
+    list anyway."""
+    df = _delete_counts_df(spark, table)
+    if df is None:
         return {}
-    rows = df.groupBy("file_path").agg(F.countDistinct("pos").alias("n")).collect()
-    return {r["file_path"]: r["n"] for r in rows}
+    return {r["file_path"]: r["n"] for r in df.collect()}
 
 
 def removable_delete_files(
@@ -239,17 +251,40 @@ def compact(
     batch_bins_threshold: int = _BATCH_BINS_THRESHOLD,
 ) -> CompactResult:
     table.refresh()
-    del_counts = _delete_counts(spark, table)
     # candidate selection runs DISTRIBUTED over parquet manifests when the
-    # table is at that scale (planning.py — driver holds O(candidates), never
-    # O(table)); JSON-manifest tables select driver-side, same policy
-    from moonlink_spark.table.planning import plan_compaction_candidates
+    # table is at that scale (planning.py — delete counts join the manifests
+    # as a DataFrame, so the driver holds O(candidates), never O(table) and
+    # never O(files-with-deletes)); JSON-manifest tables select driver-side
+    # from the dict form, same policy
+    from moonlink_spark.table.planning import plan_compaction_candidates, plannable
 
-    selected = plan_compaction_candidates(
-        spark, table, del_counts, mode, target_bytes, min_files, max_files,
-        delete_ratio, bucketed=bool(table_buckets(table)),
-    )
-    if selected is None:
+    if plannable(table):
+        dc_df = _delete_counts_df(spark, table)
+        if dc_df is not None:
+            dc_df = dc_df.cache()
+        try:
+            selected = plan_compaction_candidates(
+                spark, table, dc_df, mode, target_bytes, min_files, max_files,
+                delete_ratio, bucketed=bool(table_buckets(table)),
+            )
+            # bin planning + live-bytes metrics need counts ONLY for the
+            # selected files — O(selected) driver, pulled via a semi join
+            del_counts: dict[str, int] = {}
+            if selected and dc_df is not None:
+                sel = spark.createDataFrame(
+                    [(e.path,) for e in selected], "p string"
+                )
+                del_counts = {
+                    r["file_path"]: r["n"]
+                    for r in dc_df.join(
+                        sel, dc_df["file_path"] == sel["p"], "left_semi"
+                    ).collect()
+                }
+        finally:
+            if dc_df is not None:
+                dc_df.unpersist()
+    else:
+        del_counts = _delete_counts(spark, table)
         selected = select_candidates(
             table, del_counts, mode, target_bytes, min_files, max_files,
             delete_ratio,

@@ -138,7 +138,7 @@ def plan_data_candidates(
 def plan_compaction_candidates(
     spark: SparkSession,
     table: Table,
-    del_counts: dict[str, int],
+    del_counts_df,
     mode: str,
     target_bytes: int,
     min_files: int,
@@ -151,23 +151,22 @@ def plan_compaction_candidates(
     ``operators.compact.select_candidates`` (same trigger policy, reference
     snapshot_maintenance.rs:42-196). Returns None when not plannable.
 
-    ``del_counts`` (per-file deleted-row counts) is driver-small by
-    construction — one entry per file with live deletes, which steady-state
-    maintenance keeps bounded — and rides in as a broadcast join. The driver
-    receives O(candidates): best-effort truncates to ``max_files`` via a
-    distributed sort+limit; full mode returns every file needing work, which
-    is exactly the set the driver must orchestrate rewrites for anyway.
+    ``del_counts_df`` — per-file deleted-row counts as a DataFrame
+    (file_path, n), or None when the snapshot has no deletes — joins the
+    manifests executor-side, so NOTHING about the delete distribution ever
+    lands whole on the driver (a broad delete wave can touch a large
+    fraction of 10^9 files). The driver receives O(candidates): best-effort
+    truncates to ``max_files`` via a distributed sort+limit; full mode
+    returns every file needing work, which is exactly the set the driver
+    must orchestrate rewrites for anyway.
     """
     if not plannable(table):
         return None
     snap = table.md.current_snapshot()
     df = spark.read.parquet(*snap.manifests).filter(F.col("content") == DATA)
-    if del_counts:
-        dc = F.broadcast(
-            spark.createDataFrame(
-                [(p, int(n)) for p, n in del_counts.items()],
-                "dpath string, dn long",
-            )
+    if del_counts_df is not None:
+        dc = del_counts_df.select(
+            F.col("file_path").alias("dpath"), F.col("n").alias("dn")
         )
         df = df.join(dc, F.col("path") == F.col("dpath"), "left").drop("dpath")
     else:

@@ -169,6 +169,44 @@ def test_full_row_identity(spark, tmp_path):
     assert got == [[1, "y"], [2, "x"]]
 
 
+@pytest.mark.parametrize("seed", [5, 23])
+def test_composite_random_batches_vs_oracle(spark, table, seed):
+    """Seeded random CDC batches under composite identity vs a dict oracle:
+    per (ord,line) key, latest (lsn, op) wins within a batch; batches apply
+    sequentially (the pandas analog of tests/test_merge.py's ReferenceTable,
+    keyed by the tuple)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    oracle = {}
+    lsn = 0
+    for _ in range(3):
+        n = int(rng.integers(50, 150))
+        events = []
+        batch_latest = {}
+        for _ in range(n):
+            lsn += 1
+            k = (int(rng.integers(0, 20)), int(rng.integers(1, 6)))
+            if rng.random() < 0.3:
+                events.append(("D", lsn, k[0], k[1], None, None))
+                batch_latest[k] = (lsn, "D", None)
+            else:
+                v = int(rng.integers(0, 10_000))
+                events.append(("U", lsn, k[0], k[1], v, f"n{v}"))
+                batch_latest[k] = (lsn, "U", v)
+        merge_cdc_batch(spark, table, _cdc(spark, events), lsn=lsn)
+        for k, (_, op, v) in batch_latest.items():
+            if op == "U":
+                oracle[k] = v
+            else:
+                oracle.pop(k, None)
+        got = {
+            (r["ord"], r["line"]): r["qty"]
+            for r in scan(spark, table.refresh()).collect()
+        }
+        assert got == oracle
+
+
 def test_composite_replication(spark, tmp_path):
     """sync_table resolves the upstream's declared composite identity."""
     from moonlink_spark.operators.sync import sync_table

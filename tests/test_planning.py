@@ -128,7 +128,11 @@ def test_json_table_not_plannable_but_merge_still_works(spark, tmp_path):
 def test_plan_compaction_matches_driver_selection(spark, ptable, mode):
     """Distributed compaction candidate selection == select_candidates for
     every trigger mode, on a table with deletes + unbucketed files."""
-    from moonlink_spark.operators.compact import _delete_counts, select_candidates
+    from moonlink_spark.operators.compact import (
+        _delete_counts,
+        _delete_counts_df,
+        select_candidates,
+    )
     from moonlink_spark.table.planning import plan_compaction_candidates
 
     _load(spark, ptable)  # merges leave unbucketed inserts + delete files
@@ -141,7 +145,7 @@ def test_plan_compaction_matches_driver_selection(spark, ptable, mode):
         delete_ratio=0.01,
     )
     planned = plan_compaction_candidates(
-        spark, ptable, del_counts, bucketed=True, **kw
+        spark, ptable, _delete_counts_df(spark, ptable), bucketed=True, **kw
     )
     assert planned is not None
     drv = select_candidates(ptable, del_counts, **kw)
