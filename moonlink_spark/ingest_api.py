@@ -26,7 +26,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.types import BinaryType, StructField, StructType
 
 from moonlink_spark.operators.merge import MergeResult, merge_cdc_batch
-from moonlink_spark.schema import MERGE_KEY
+from moonlink_spark.schema import normalize_keys, table_identity
 from moonlink_spark.table.catalog import Table
 
 
@@ -46,15 +46,18 @@ class RowEventIngestor:
         self,
         spark: SparkSession,
         table: Table,
-        key: str = MERGE_KEY,
+        key: str | list[str] | None = None,
         max_buffer_rows: int = 100_000,
         start_lsn: int | None = None,
     ):
         self.spark = spark
         self.table = table
-        self.key = key
-        self.max_buffer_rows = max_buffer_rows
         table.refresh()
+        # identity resolution: explicit key > the table's declared identity
+        # (IDENTITY_PROP — single, composite or full-row), same rule as MERGE
+        self.keys = normalize_keys(key) if key is not None else table_identity(table)
+        self.key = self.keys[0]  # back-compat for single-key callers
+        self.max_buffer_rows = max_buffer_rows
         self._next_lsn = (
             start_lsn
             if start_lsn is not None
@@ -73,11 +76,21 @@ class RowEventIngestor:
         self._event("U", row)
 
     def delete(self, key_value) -> None:
-        self._event("D", {self.key: key_value})
+        """Delete by identity: a scalar for single-key tables, or a dict
+        carrying every identity column for composite identities."""
+        if isinstance(key_value, dict):
+            self._event("D", dict(key_value))
+        elif len(self.keys) == 1:
+            self._event("D", {self.key: key_value})
+        else:
+            raise ValueError(
+                f"composite identity {self.keys} requires a dict key payload"
+            )
 
     def _event(self, op: str, row: dict) -> None:
-        if self.key not in row or row[self.key] is None:
-            raise ValueError(f"row event must carry the merge key {self.key!r}")
+        missing = [k for k in self.keys if row.get(k) is None]
+        if missing:
+            raise ValueError(f"row event must carry the identity column(s) {missing}")
         known = {f.name for f in self.table.schema.fields}
         unknown = set(row) - known
         if unknown:
@@ -106,7 +119,7 @@ class RowEventIngestor:
         # folds same-key events at snapshot time)
         last: dict = {}
         for i, r in enumerate(self._buf):
-            last[r[self.key]] = i
+            last[tuple(r[k] for k in self.keys)] = i
         rows = [self._buf[i] for i in sorted(last.values())]
         cols = [f.name for f in self.table.schema.fields]
         # CDC frame schema from the LIVE table schema (evolution-safe — an
@@ -127,7 +140,7 @@ class RowEventIngestor:
             tuple([r["op"], use_lsn] + [r.get(c) for c in cols]) for r in rows
         ]
         sdf = self.spark.createDataFrame(data, frame_schema)
-        res = merge_cdc_batch(self.spark, self.table, sdf, use_lsn, key=self.key)
+        res = merge_cdc_batch(self.spark, self.table, sdf, use_lsn, key=self.keys)
         self._buf.clear()
         self._next_lsn = use_lsn + 1
         return res

@@ -33,7 +33,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.types import StructType
 
 from moonlink_spark.ingest_api import RowEventIngestor
-from moonlink_spark.schema import MERGE_KEY
+
 from moonlink_spark.table.catalog import Table, create_table, load_table
 
 
@@ -48,11 +48,13 @@ class AppState:
     one write lock per table. Transport-agnostic — the HTTP handler and
     tests drive the same methods."""
 
-    def __init__(self, spark: SparkSession, root: str, key: str = MERGE_KEY):
+    def __init__(self, spark: SparkSession, root: str, key=None):
         import os
 
         self.spark = spark
         self.root = os.path.abspath(root)
+        # None = per-table identity resolution (IDENTITY_PROP; single or
+        # composite), the same rule every other front-end uses
         self.key = key
         self._tables: dict[str, Table] = {}
         self._ingestors: dict[str, RowEventIngestor] = {}
@@ -122,8 +124,18 @@ class AppState:
         schema = (
             StructType.fromDDL(body["schema"]) if body.get("schema") else IMAGES_SCHEMA
         )
-        if self.key not in [f.name for f in schema.fields]:
-            raise ServiceError(400, f"schema must carry merge key {self.key!r}")
+        from moonlink_spark.schema import MERGE_KEY as _DEFAULT_KEY
+
+        declared = (body.get("properties") or {}).get("moonlink.identity-keys")
+        need = (
+            [c.strip() for c in declared.split(",") if c.strip()]
+            if declared
+            else ([self.key] if isinstance(self.key, str) and self.key else [_DEFAULT_KEY])
+        )
+        names = [f.name for f in schema.fields]
+        missing = [k for k in need if k not in names]
+        if missing:
+            raise ServiceError(400, f"schema must carry identity column(s) {missing}")
         try:
             t = create_table(
                 self._path(name), schema, properties=body.get("properties")
@@ -160,7 +172,10 @@ class AppState:
                 if op in ("insert", "upsert"):
                     getattr(ing, op)(data)
                 elif op == "delete":
-                    ing.delete((data or {}).get(self.key))
+                    # the delete payload IS the identity dict ({key: value}
+                    # for single-key tables, every identity column for
+                    # composite identities) — the ingestor validates it
+                    ing.delete(dict(data or {}))
                 elif op == "flush":
                     pass  # flush-only request
                 else:

@@ -207,6 +207,27 @@ def test_composite_random_batches_vs_oracle(spark, table, seed):
         assert got == oracle
 
 
+def test_ingestor_resolves_composite_identity(spark, table):
+    """RowEventIngestor defaults to the table's declared identity: deletes
+    take a dict of all identity columns; scalar deletes are rejected."""
+    from moonlink_spark.ingest_api import RowEventIngestor
+
+    ing = RowEventIngestor(spark, table)
+    assert ing.keys == KEYS
+    ing.insert({"ord": 1, "line": 1, "qty": 5, "note": "a"})
+    ing.insert({"ord": 1, "line": 2, "qty": 6, "note": "b"})
+    ing.flush()
+    ing.upsert({"ord": 1, "line": 1, "qty": 9, "note": "u"})
+    ing.delete({"ord": 1, "line": 2})
+    with pytest.raises(ValueError, match="dict key payload"):
+        ing.delete(1)
+    with pytest.raises(ValueError, match="identity column"):
+        ing.insert({"ord": 2, "qty": 1, "note": "no-line"})
+    ing.flush()
+    got = _content(spark, table).set_index(["ord", "line"])
+    assert got.loc[(1, 1), "qty"] == 9 and (1, 2) not in got.index and len(got) == 1
+
+
 def test_composite_replication(spark, tmp_path):
     """sync_table resolves the upstream's declared composite identity."""
     from moonlink_spark.operators.sync import sync_table

@@ -81,7 +81,7 @@ def test_auto_flush_and_lsn_monotone(spark, table):
 
 def test_event_validation(spark, table):
     ing = RowEventIngestor(spark, table)
-    with pytest.raises(ValueError, match="merge key"):
+    with pytest.raises(ValueError, match="identity column"):
         ing.insert({"caption": "no key"})
     with pytest.raises(ValueError, match="unknown columns"):
         ing.insert({"image_id": "x", "nope": 1})

@@ -92,19 +92,32 @@ def test_mem_store_append_reuses_manifests_by_reference(loc):
 
 def test_mem_store_expire_deletes_objects(loc):
     t = create_table(loc, SCHEMA)
+    # an OWNED data file (under the table's root — GC may delete it) and a
+    # FOREIGN one (another bucket: shallow-clone / add_files shared object —
+    # the ownership guard must leave it alone, operators/expire.py)
     dropped = _entry("d")
-    t.commit("append", added=[dropped], lsn=1)
+    dropped.path = f"{loc}/data/{uuid.uuid4().hex}.parquet"
+    foreign = _entry("f")
+    t.commit("append", added=[dropped, foreign], lsn=1)
     kept = _entry("d")
-    t.commit("replace", added=[kept], removed_paths={dropped.path}, lsn=2)
+    kept.path = f"{loc}/data/{uuid.uuid4().hex}.parquet"
+    t.commit(
+        "replace",
+        added=[kept],
+        removed_paths={dropped.path, foreign.path},
+        lsn=2,
+    )
     t.commit("append", added=[_entry("d")], lsn=3)
     acc = accessor_for(loc)
     old_snap_files = [s.file for s in t.md.snapshots[:-2]]
 
-    # the dropped data file must be GC'd; give it a real object to delete
+    # the dropped data file must be GC'd; give both real objects to sweep
     accessor_for(dropped.path).write_atomic(dropped.path, "x")
+    accessor_for(foreign.path).write_atomic(foreign.path, "x")
     res = expire_snapshots(t, retain_last=2)
     assert res.expired_snapshots == 1
     assert not accessor_for(dropped.path).exists(dropped.path)
+    assert accessor_for(foreign.path).exists(foreign.path)  # never GC'd
     for p in old_snap_files:
         assert not acc.exists(p)
     # retained snapshots still readable from a fresh handle
