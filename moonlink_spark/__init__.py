@@ -23,3 +23,27 @@ pandas UDFs); only metadata (manifest lists, commit CAS) is driver-side.
 __version__ = "0.1.0"
 
 from moonlink_spark.table.catalog import create_table, load_table  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (keep import light; Spark-heavy modules
+    # load only when first touched)
+    lazy = {
+        "merge_cdc_batch": ("moonlink_spark.operators.merge", "merge_cdc_batch"),
+        "optimize_table": ("moonlink_spark.operators.maintenance", "optimize_table"),
+        "sync_table": ("moonlink_spark.operators.sync", "sync_table"),
+        "clone_table": ("moonlink_spark.operators.clone", "clone_table"),
+        "remove_orphan_files": ("moonlink_spark.operators.orphans", "remove_orphan_files"),
+        "expire_snapshots": ("moonlink_spark.operators.expire", "expire_snapshots"),
+        "scan": ("moonlink_spark.table.scan", "scan"),
+        "scan_at_lsn": ("moonlink_spark.table.scan", "scan_at_lsn"),
+        "scan_range": ("moonlink_spark.table.scan", "scan_range"),
+        "scan_changes": ("moonlink_spark.table.changelog", "scan_changes"),
+        "register_view": ("moonlink_spark.table.scan", "register_view"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'moonlink_spark' has no attribute {name!r}")

@@ -159,7 +159,7 @@ def scan_at_lsn(spark: SparkSession, table: Table, lsn: int, **kw) -> DataFrame:
 def scan_range(
     spark: SparkSession,
     table: Table,
-    key: str,
+    key: str | list[str],
     lo,
     hi,
     snapshot_id: int | None = None,
@@ -168,23 +168,58 @@ def scan_range(
     """Key-range scan with manifest-stat file pruning BEFORE the read plan
     is built, plus the residual row filter.
 
-    File-level pruning runs distributed over parquet manifests when the
-    table is at that scale (table/planning.py — driver holds O(survivors)),
-    else driver-side over the same bounds; semantics are identical and files
-    lacking bounds are always kept. The residual ``key BETWEEN lo AND hi``
-    filter then lands on the parquet scan as a pushed predicate, so row-group
-    stats prune within the surviving files too.
+    ``key`` may be a list of columns with aligned ``lo``/``hi`` lists — a
+    conjunction of per-column ranges (e.g. a composite-identity probe or a
+    key+timestamp slice); a file survives only if EVERY column's bounds
+    intersect its stats. File-level pruning runs distributed over parquet
+    manifests when the table is at that scale (table/planning.py — driver
+    holds O(survivors)), else driver-side over the same bounds; semantics
+    are identical and files lacking bounds are always kept. The residual
+    ``col BETWEEN lo AND hi`` conjunction then lands on the parquet scan as
+    pushed predicates, so row-group stats prune within surviving files too.
     """
+    from moonlink_spark.schema import normalize_keys
     from moonlink_spark.table.planning import plan_data_candidates
 
+    keys = normalize_keys(key)
+    los = list(lo) if isinstance(lo, (list, tuple)) else [lo]
+    his = list(hi) if isinstance(hi, (list, tuple)) else [hi]
+    if not (len(keys) == len(los) == len(his)):
+        raise ValueError("key/lo/hi must align")
     planned = plan_data_candidates(
-        spark, table, key, lo, hi, snapshot_id=snapshot_id
+        spark, table, keys, los, his, snapshot_id=snapshot_id
     )
     if planned is not None:
         entries = planned[0]
     else:
-        entries = prune_entries(
-            table.data_entries(snapshot_id), key, lo, hi
-        )
+        entries = table.data_entries(snapshot_id)
+        for k, klo, khi in zip(keys, los, his):
+            entries = prune_entries(entries, k, klo, khi)
     df = scan(spark, table, snapshot_id=snapshot_id, data_entries=entries, **kw)
-    return df.filter((F.col(key) >= F.lit(lo)) & (F.col(key) <= F.lit(hi)))
+    cond = F.lit(True)
+    for k, klo, khi in zip(keys, los, his):
+        cond = cond & (F.col(k) >= F.lit(klo)) & (F.col(k) <= F.lit(khi))
+    return df.filter(cond)
+
+
+def register_view(
+    spark: SparkSession,
+    table: Table,
+    name: str,
+    snapshot_id: int | None = None,
+    lsn: int | None = None,
+) -> DataFrame:
+    """Expose an LSN-consistent snapshot scan as a Spark SQL temp view, so
+    plain ``spark.sql("SELECT ... FROM <name>")`` queries the table — the
+    Spark-native face of moonlink's read API (readers consume the synced
+    Iceberg table directly; here the view IS the DV-applied, schema-resolved
+    scan plan, fully JVM-side). The view is a SNAPSHOT: it pins the state at
+    registration (or at ``snapshot_id``/``lsn``); re-register after new
+    commits to advance it — exactly a reader's "read at LSN X" contract.
+    """
+    if lsn is not None:
+        df = scan_at_lsn(spark, table, lsn)
+    else:
+        df = scan(spark, table, snapshot_id=snapshot_id)
+    df.createOrReplaceTempView(name)
+    return df

@@ -93,3 +93,31 @@ def test_clone_gc_never_touches_shared_files(spark, src, tmp_path):
     assert all(os.path.exists(p) for p in src_files)
     assert len(_content(spark, t)) == len(_content(spark, c))
     pd.testing.assert_frame_equal(_content(spark, t), _content(spark, c), check_dtype=False)
+
+
+def test_clone_on_object_store(spark, tmp_path):
+    """Clone a table whose METADATA lives on the mem:// object store while
+    data stays Spark-readable (split roots) — proves the clone path is
+    accessor-clean (manifest/snapshot copies ride the accessor, never
+    local-fs assumptions)."""
+    import uuid as _uuid
+
+    from moonlink_spark import clone_table as clone_fn
+
+    src = create_table(
+        f"mem://bkt-{_uuid.uuid4().hex[:8]}/src",
+        IMAGES_SCHEMA,
+        data_location=str(tmp_path / "srcdata"),
+    )
+    gen = CdcScheduleGenerator(seed=77)
+    merge_cdc_batch(spark, src, to_spark(spark, gen.next_batch(40, 0, 0)), gen.commit_lsn)
+    c = clone_fn(
+        src,
+        f"mem://bkt-{_uuid.uuid4().hex[:8]}/clone",
+        data_location=str(tmp_path / "clonedata"),
+    )
+    pd.testing.assert_frame_equal(
+        _content(spark, src), _content(spark, c), check_dtype=False
+    )
+    merge_cdc_batch(spark, c, to_spark(spark, gen.next_batch(5, 0, 0)), gen.commit_lsn)
+    assert len(_content(spark, c)) == 45 and len(_content(spark, src)) == 40

@@ -252,3 +252,21 @@ def test_composite_replication(spark, tmp_path):
         _content(spark, src), _content(spark, dst), check_dtype=False
     )
     assert dst.refresh().flush_lsn == 2
+
+
+def test_scan_range_multi_column(spark, table):
+    """Conjunctive multi-column range scan prunes and filters on every
+    bound (composite-identity slice)."""
+    from moonlink_spark.table.scan import scan_range
+
+    base = [("U", 1, o, l, o * 10 + l, "x") for o in range(30) for l in range(1, 5)]
+    merge_cdc_batch(spark, table, _cdc(spark, base), lsn=1)
+    got = (
+        scan_range(spark, table, ["ord", "line"], [10, 2], [12, 3])
+        .toPandas()
+        .sort_values(KEYS)
+    )
+    assert set(got["ord"]) == {10, 11, 12} and set(got["line"]) == {2, 3}
+    assert len(got) == 6
+    with pytest.raises(ValueError, match="align"):
+        scan_range(spark, table, ["ord", "line"], [1], [2, 3])

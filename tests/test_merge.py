@@ -326,3 +326,27 @@ def test_distributed_bloom_probe_matches_driver(spark, tmp_path, monkeypatch):
         assert got == want
         assert no_bloom.path in got  # bloom-less entries always survive
     assert prune_by_bloom_distributed(spark, entries, np.array([], dtype=np.int64)) == []
+
+
+def test_register_view_sql(spark, table):
+    from moonlink_spark.table.scan import register_view
+
+    gen = CdcScheduleGenerator(seed=44)
+    ref = ReferenceTable()
+    b = gen.next_batch(60, 0, 0)
+    ref.apply(b)
+    merge_cdc_batch(spark, table, to_spark(spark, b), gen.commit_lsn)
+    first_lsn = gen.commit_lsn
+    register_view(spark, table, "imgs_v")
+    n = spark.sql("SELECT count(*) AS n FROM imgs_v").collect()[0]["n"]
+    assert n == 60
+    # the view pins its snapshot: a later commit is invisible until
+    # re-registration; an lsn-pinned view reads history
+    b2 = gen.next_batch(0, 0, 10)
+    ref.apply(b2)
+    merge_cdc_batch(spark, table, to_spark(spark, b2), gen.commit_lsn)
+    assert spark.sql("SELECT count(*) FROM imgs_v").collect()[0][0] == 60
+    register_view(spark, table.refresh(), "imgs_v")
+    assert spark.sql("SELECT count(*) FROM imgs_v").collect()[0][0] == 50
+    register_view(spark, table, "imgs_v1", lsn=first_lsn)
+    assert spark.sql("SELECT count(*) FROM imgs_v1").collect()[0][0] == 60
