@@ -56,6 +56,7 @@ from moonlink_spark.table.writer import (
     list_parquet,
     table_bucket_key,
     table_buckets,
+    write_delete_files,
 )
 
 BEST_EFFORT = "best_effort"
@@ -110,6 +111,70 @@ def _delete_counts(spark: SparkSession, table: Table) -> dict[str, int]:
     if df is None:
         return {}
     return {r["file_path"]: r["n"] for r in df.collect()}
+
+
+@dataclass
+class RewriteDeletesResult:
+    snapshot: Snapshot | None
+    in_files: int
+    out_files: int
+    dropped_dangling_positions: int
+    skipped: bool = False
+
+
+def rewrite_position_deletes(
+    spark: SparkSession,
+    table: Table,
+    min_files: int = 2,
+    num_files: int = 1,
+) -> RewriteDeletesResult:
+    """Consolidate accumulated positional-delete files into ``num_files``
+    re-packed DV files WITHOUT touching row data — Iceberg's
+    rewrite_position_delete_files action, the between-compactions hygiene
+    for merge-on-read (each MERGE adds one delete file; a thousand commits
+    otherwise mean a thousand DV objects on every scan's apply path).
+
+    Safe under the Iceberg-v2 sequence rule: data-file paths are immutable
+    and never reused, so re-packed (path, pos) rows commit at a NEW
+    sequence number and still apply to exactly the same rows. Overlapping
+    positions across input files fold into one bitmap bit; positions
+    referencing data files no longer live in the snapshot (left by
+    compaction's mixed-reference keeps, moonlink's deletion-log remap
+    residue, snapshot_maintenance.rs:369-424) are dropped via a broadcast
+    semi join against the live path set — metadata-scale work end to end.
+    """
+    from moonlink_spark.table.dv import read_delete_positions
+
+    table.refresh()
+    dels = table.delete_entries()
+    if len(dels) < min_files:
+        return RewriteDeletesResult(None, len(dels), len(dels), 0, skipped=True)
+    pos = read_delete_positions(spark, dels)
+    live = spark.createDataFrame(
+        [(e.path,) for e in table.data_entries()], "lp string"
+    )
+    kept = pos.join(
+        F.broadcast(live), pos["file_path"] == live["lp"], "left_semi"
+    )
+    entries = [
+        e
+        for e in write_delete_files(
+            spark, kept, table.new_delete_dir(), num_files=num_files
+        )
+        if e.record_count > 0
+    ]
+    n_in = sum(e.record_count for e in dels)
+    n_out = sum(e.record_count for e in entries)
+    snap = table.commit(
+        "rewrite-deletes",
+        added=entries,
+        removed_paths={e.path for e in dels},
+        summary_extra={
+            "rewrite-deletes-in": len(dels),
+            "rewrite-deletes-out": len(entries),
+        },
+    )
+    return RewriteDeletesResult(snap, len(dels), len(entries), max(0, n_in - n_out))
 
 
 def removable_delete_files(

@@ -55,10 +55,11 @@ MIN_CHANGELOG_LSN_PROP = "moonlink.min-changelog-lsn"
 # invisible to the changelog (Iceberg's changelog skips "replace" snapshots
 # for the same reason). Prefix match so "cluster-zorder"/"cluster-hilbert"
 # and future strategies are covered.
-# ("rollback": a rollback snapshot is content-identical to its target
+# ("rewrite-": manifest AND positional-delete rewrites are layout-only;
+# "rollback": a rollback snapshot is content-identical to its target
 # parent — no row events of its own; the UNDONE commits are excluded by the
 # ancestry walk)
-_REPLACE_OP_PREFIXES = ("compact", "cluster", "rewrite-manifests", "rollback")
+_REPLACE_OP_PREFIXES = ("compact", "cluster", "rewrite-", "rollback")
 # schema-only commits: no row events
 _SCHEMA_OP_PREFIXES = ("add-columns", "drop-columns")
 

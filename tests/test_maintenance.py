@@ -232,3 +232,47 @@ def test_compact_batched_bins_single_job(spark, tmp_path):
         checkpoint_root=ckroot, batch_bins_threshold=4,
     )
     assert content_hash(spark, t) == before
+
+
+def test_rewrite_position_deletes(spark, tmp_path):
+    """Consolidating DV files is content-neutral, shrinks the delete set to
+    one file, drops dangling positions, and leaves later merges working;
+    the changelog treats it as a replace commit (no row events)."""
+    from moonlink_spark.cdc import CdcScheduleGenerator, to_spark
+    from moonlink_spark.operators.compact import rewrite_position_deletes
+    from moonlink_spark.operators.merge import merge_cdc_batch
+    from moonlink_spark.schema import IMAGES_SCHEMA
+    from moonlink_spark.table.catalog import create_table
+    from moonlink_spark.table.changelog import scan_changes
+    from moonlink_spark.table.scan import scan
+
+    t = create_table(str(tmp_path / "rpd"), IMAGES_SCHEMA)
+    gen = CdcScheduleGenerator(seed=61)
+    for sizes in [(120, 0, 0), (0, 30, 15), (0, 20, 10), (0, 5, 8)]:
+        merge_cdc_batch(spark, t, to_spark(spark, gen.next_batch(*sizes)), gen.commit_lsn)
+    assert len(t.delete_entries()) == 3
+    before = (
+        scan(spark, t, columns=["image_id", "caption"]).toPandas()
+        .sort_values("image_id").reset_index(drop=True)
+    )
+    res = rewrite_position_deletes(spark, t)
+    assert not res.skipped and res.in_files == 3 and res.out_files == 1
+    t.refresh()
+    assert len(t.delete_entries()) == 1
+    after = (
+        scan(spark, t, columns=["image_id", "caption"]).toPandas()
+        .sort_values("image_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(before, after, check_dtype=False)
+    # replace-type commit: the changelog window spanning it emits nothing
+    lsn0 = t.flush_lsn
+    assert scan_changes(spark, t, lsn0, lsn0 + 10, columns=["image_id"]).count() == 0
+    # below min_files nothing rewrites (one consolidated file left)
+    res2 = rewrite_position_deletes(spark, t)
+    assert res2.skipped and res2.in_files == 1
+    # a later merge still resolves deletes correctly
+    b = gen.next_batch(0, 10, 5)
+    merge_cdc_batch(spark, t, to_spark(spark, b), gen.commit_lsn)
+    assert scan(spark, t.refresh()).count() == len(after) - 5
