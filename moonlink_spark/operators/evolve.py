@@ -31,7 +31,6 @@ import json
 
 from pyspark.sql.types import StructField, StructType
 
-from moonlink_spark.schema import MERGE_KEY
 from moonlink_spark.table.catalog import Table
 from moonlink_spark.table.format import Snapshot
 
@@ -109,14 +108,27 @@ def add_columns(table: Table, new_fields: list[StructField]) -> Snapshot:
 
 
 def drop_columns(table: Table, names: list[str]) -> Snapshot:
+    from moonlink_spark.schema import table_identity
+    from moonlink_spark.table.writer import table_bucket_key, table_buckets
+
     table.refresh()
     schema = table.schema
     existing = {f.name for f in schema.fields}
+    # identity columns are undroppable (a row's identity must stay
+    # resolvable, mooncake_table.rs:126-136); so are the physical bucket-
+    # layout columns while a bucketed layout exists (files are hashed by
+    # them — dropping one would silently desync build and probe hashes)
+    protected = set(table_identity(table))
+    if table_buckets(table):
+        protected |= set(table_bucket_key(table))
     for n in names:
         if n not in existing:
             raise ValueError(f"no such column: {n}")
-        if n == MERGE_KEY:
-            raise ValueError(f"cannot drop the merge key {MERGE_KEY!r}")
+        if n in protected:
+            raise ValueError(
+                f"cannot drop {n!r}: identity/bucket-layout column "
+                f"(protected: {sorted(protected)})"
+            )
     new_schema = StructType([f for f in schema.fields if f.name not in names])
     retired = sorted(_retired(table) | set(names))
     return table.commit(

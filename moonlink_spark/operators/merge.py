@@ -181,14 +181,16 @@ def merge_cdc_batch(
     total_files = None
     candidates: list[FileEntry] = []
     if n_cdc > 0:
-        planned = plan_data_candidates(
-            spark,
-            table,
-            [b[0] for b in bounds],
-            [b[1] for b in bounds],
-            [b[2] for b in bounds],
-            batch_buckets=batch_buckets,
-        ) if bounds or batch_buckets is not None else None
+        planned = None
+        if bounds or batch_buckets is not None:
+            planned = plan_data_candidates(
+                spark,
+                table,
+                [b[0] for b in bounds],
+                [b[1] for b in bounds],
+                [b[2] for b in bounds],
+                batch_buckets=batch_buckets,
+            )
         if planned is not None:
             candidates, total_files = planned
         else:

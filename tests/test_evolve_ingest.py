@@ -47,7 +47,7 @@ def test_drop_column_projects_away(spark, table):
     add_columns(table, [StructField("caption", StringType(), True)])
     assert scan(spark, table).filter(F.col("caption").isNotNull()).count() == 0
     # merge key is protected
-    with pytest.raises(ValueError, match="merge key"):
+    with pytest.raises(ValueError, match="identity/bucket-layout"):
         drop_columns(table, ["image_id"])
 
 

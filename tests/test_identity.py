@@ -270,3 +270,14 @@ def test_scan_range_multi_column(spark, table):
     assert len(got) == 6
     with pytest.raises(ValueError, match="align"):
         scan_range(spark, table, ["ord", "line"], [1], [2, 3])
+
+
+def test_identity_columns_undroppable(spark, table):
+    from moonlink_spark.operators.evolve import drop_columns
+
+    merge_cdc_batch(spark, table, _cdc(spark, [("U", 1, 1, 1, 1, "x")]), lsn=1)
+    for col in ("ord", "line"):
+        with pytest.raises(ValueError, match="identity/bucket-layout"):
+            drop_columns(table, [col])
+    drop_columns(table, ["note"])  # non-identity columns still droppable
+    assert "note" not in [f.name for f in table.refresh().schema.fields]
