@@ -134,10 +134,11 @@ def cluster(
         "bins": bins,
         "removed_delete_files": len(removable),
     }
-    snap = table.commit(
+    snap = table.commit_with_retry(
         f"cluster-{strategy}",
         added=new_entries,
         removed_paths=sel_paths | removable,
+        conflict_on_new_deletes=True,
         summary_extra={"cluster-metrics": metrics},
     )
     return ClusterResult(snap, len(entries), len(new_entries), strategy, metrics=metrics)

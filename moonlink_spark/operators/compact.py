@@ -165,7 +165,7 @@ def rewrite_position_deletes(
     ]
     n_in = sum(e.record_count for e in dels)
     n_out = sum(e.record_count for e in entries)
-    snap = table.commit(
+    snap = table.commit_with_retry(
         "rewrite-deletes",
         added=entries,
         removed_paths={e.path for e in dels},
@@ -549,10 +549,14 @@ def compact(
         "bins": len(bins),
         "bin_jobs": 1 if batched else len(bins),
     }
-    snap = table.commit(
+    # retry rebases over concurrent appends; anything that touched the
+    # selected files (another compaction) or added DVs that would dangle
+    # after this rewrite (a concurrent MERGE) raises ValidationConflict
+    snap = table.commit_with_retry(
         "compact",
         added=new_entries,
         removed_paths=sel_paths | removable_deletes,
+        conflict_on_new_deletes=True,
         summary_extra={"compact-metrics": metrics},
     )
     return CompactResult(

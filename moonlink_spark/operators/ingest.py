@@ -117,7 +117,8 @@ def add_files(
     entries = collect_file_entries(
         spark, paths, expected_field_ids=schema_field_id_map(table.schema)
     )
-    snap = table.commit(
+    # pure append: retry-safe unconditionally (rebases over any winner)
+    snap = table.commit_with_retry(
         "add-files",
         added=entries,
         lsn=lsn,

@@ -300,9 +300,14 @@ def merge_cdc_batch(
         "probe_delete_sec": round(t1 - t0, 3),
         "insert_write_sec": round(t2 - t1, 3),
     }
-    snap = table.commit(
+    # optimistic retry: appends/maintenance landing first are rebased over;
+    # a concurrent compaction of the probed candidates (DVs would dangle) or
+    # a concurrent MERGE (duplicate identities) raises ValidationConflict
+    snap = table.commit_with_retry(
         "merge",
         added=del_entries + ins_entries,
+        referenced_data_paths=set(src),
+        conflict_on_operations={"merge"},
         lsn=lsn,
         summary_extra={"merge-metrics": metrics},
     )

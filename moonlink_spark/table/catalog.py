@@ -41,6 +41,12 @@ class CommitConflict(Exception):
     """Another writer committed the same version first."""
 
 
+class ValidationConflict(Exception):
+    """A concurrent commit invalidated this commit's inputs; the OPERATOR
+    must re-run against the refreshed table — blind re-commit would corrupt
+    (Iceberg's ValidationException)."""
+
+
 class Table:
     def __init__(self, md: TableMetadata):
         self.md = md
@@ -215,6 +221,102 @@ class Table:
         _write_metadata_cas(new_md)
         self.md = new_md
         return snap
+
+    def commit_with_retry(
+        self,
+        operation: str,
+        added: list[FileEntry] | None = None,
+        removed_paths: set[str] | None = None,
+        referenced_data_paths: set[str] | None = None,
+        conflict_on_new_deletes: bool = False,
+        conflict_on_operations: set[str] | None = None,
+        attempts: int = 4,
+        **kwargs,
+    ) -> Snapshot:
+        """Optimistic-concurrency commit: on losing the metadata CAS race,
+        refresh to the winner's base, re-validate, and re-apply — Iceberg's
+        SnapshotProducer retry loop. Moonlink serializes all writers per
+        table inside its event loop (table_handler.rs:374-411); this is the
+        multi-writer batch analog, so independent jobs (ingest + compaction,
+        two appenders) can race the same table safely.
+
+        Validation before each re-apply (serializable-isolation guards):
+
+        - every path in ``removed_paths`` must still be live in the new
+          base — else a concurrent replace already rewrote those files (two
+          compactions of the same bin would double-delete);
+        - every path in ``referenced_data_paths`` (data files a MERGE
+          computed positional deletes against) must still be live — else
+          concurrent compaction moved those rows to new positions and the
+          staged DVs would silently fail to delete them (row resurrection);
+        - with ``conflict_on_new_deletes`` (replace commits: compaction,
+          clustering), no concurrent commit may have ADDED positional-delete
+          files since this operator planned — a concurrent MERGE's DVs
+          against the files being rewritten would dangle after the rewrite
+          and its deleted rows would resurrect (Iceberg's
+          validateNoNewDeletesForDataFiles);
+        - with ``conflict_on_operations`` (MERGE passes ``{"merge"}``), no
+          concurrent commit may carry one of those operation names — two
+          MERGEs racing the same identity keys would both insert their row
+          version (duplicate identities); mutating batches against one table
+          stay serialized, exactly moonlink's single-writer event loop,
+          while appends/maintenance compose freely around them.
+
+        Violations raise :class:`ValidationConflict`. Manifests written by a
+        lost attempt are unreferenced; ``remove_orphan_files`` sweeps them.
+
+        Appends (no removes, no references) are always retry-safe: the
+        rebuilt commit reuses the WINNER's manifests by reference and only
+        appends its own.
+        """
+        removed_paths = removed_paths or set()
+        referenced = set(referenced_data_paths or ())
+        base_seq = self.md.last_sequence_number
+        last: CommitConflict | None = None
+        for _ in range(max(1, attempts)):
+            try:
+                return self.commit(
+                    operation, added=added, removed_paths=removed_paths, **kwargs
+                )
+            except CommitConflict as e:
+                last = e
+                self.refresh()
+                if removed_paths or referenced:
+                    live = {en.path for en in self.entries()}
+                    gone = (removed_paths | referenced) - live
+                    if gone:
+                        raise ValidationConflict(
+                            f"{operation}: {len(gone)} file(s) this commit depends"
+                            f" on were removed by a concurrent commit (e.g. "
+                            f"{sorted(gone)[:3]}); re-run against fresh state"
+                        ) from e
+                if conflict_on_new_deletes:
+                    fresh_dvs = [
+                        en
+                        for en in self.entries(content="deletes")
+                        if en.sequence_number > base_seq
+                    ]
+                    if fresh_dvs:
+                        raise ValidationConflict(
+                            f"{operation}: {len(fresh_dvs)} positional-delete "
+                            "file(s) were committed concurrently; their positions"
+                            " would dangle after this rewrite — re-plan against "
+                            "fresh state"
+                        ) from e
+                if conflict_on_operations:
+                    clashing = [
+                        s.summary.get("operation")
+                        for s in self.md.snapshots
+                        if s.sequence_number > base_seq
+                        and s.summary.get("operation") in conflict_on_operations
+                    ]
+                    if clashing:
+                        raise ValidationConflict(
+                            f"{operation}: concurrent {sorted(set(clashing))} "
+                            "commit(s) landed first; mutating batches are "
+                            "serialized per table — re-run against fresh state"
+                        ) from e
+        raise last  # type: ignore[misc]
 
     def replace_metadata(self, new_md: TableMetadata) -> None:
         """Direct metadata commit (snapshot expiry / schema evolution path,
