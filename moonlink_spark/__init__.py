@@ -31,6 +31,7 @@ def __getattr__(name):
     lazy = {
         "merge_cdc_batch": ("moonlink_spark.operators.merge", "merge_cdc_batch"),
         "optimize_table": ("moonlink_spark.operators.maintenance", "optimize_table"),
+        "auto_optimize": ("moonlink_spark.operators.maintenance", "auto_optimize"),
         "sync_table": ("moonlink_spark.operators.sync", "sync_table"),
         "clone_table": ("moonlink_spark.operators.clone", "clone_table"),
         "remove_orphan_files": ("moonlink_spark.operators.orphans", "remove_orphan_files"),

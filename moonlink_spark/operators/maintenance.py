@@ -19,7 +19,14 @@ from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 
-from moonlink_spark.operators.compact import FORCE_REGULAR, FULL, compact
+from moonlink_spark.operators.compact import (
+    BEST_EFFORT,
+    COMPACT_TARGET_BYTES,
+    FORCE_REGULAR,
+    FULL,
+    compact,
+    rewrite_position_deletes,
+)
 from moonlink_spark.operators.expire import expire_snapshots
 from moonlink_spark.operators.manifest_rewrite import rewrite_manifests
 from moonlink_spark.table.catalog import Table
@@ -56,3 +63,108 @@ def optimize_table(
     else:
         raise ValueError(f"unknown maintenance mode: {mode}")
     return res
+
+
+# ---------------------------------------------------------------------------
+# Automatic maintenance: moonlink decides WHEN to compact / merge indexes
+# inside its snapshot event loop from config thresholds
+# (compaction_config.rs:7-27 min/max files + final size + deletion
+# percentage; index_merge_config.rs:9-21; dispatch
+# mooncake_table/snapshot.rs:568-573). The batch analog reads the same
+# thresholds from TABLE PROPERTIES, so a scheduler can run one idempotent
+# `auto_optimize(table)` per table per tick and only the tables that crossed
+# a threshold do any work.
+
+AUTO_DEFAULTS = {
+    # data compaction (reference release defaults: 16/32 files, 512 MiB
+    # final size, 50% deletion percentage)
+    "moonlink.compaction.min-files": "16",
+    "moonlink.compaction.max-files": "32",
+    "moonlink.compaction.target-bytes": str(COMPACT_TARGET_BYTES),
+    "moonlink.compaction.delete-ratio": "0.5",
+    # DV-file consolidation between compactions (merge-on-read hygiene)
+    "moonlink.rewrite-deletes.min-files": "8",
+    # manifest coalescing (the index-merge analog: metadata-scale objects)
+    "moonlink.manifest-rewrite.min-manifests": "16",
+    # snapshot expiry: 0 disables auto-expiry
+    "moonlink.expire.retain-last": "0",
+    "moonlink.expire.older-than-ms": "",
+}
+
+
+def _prop(table: Table, name: str, cast):
+    raw = table.md.properties.get(name, AUTO_DEFAULTS[name])
+    if raw == "" or raw is None:
+        return None
+    return cast(raw)
+
+
+@dataclass
+class AutoMaintenanceReport:
+    triggered: list[str]
+    compact: object | None = None
+    rewrite_deletes: object | None = None
+    manifest_rewrite: object | None = None
+    expire: object | None = None
+
+
+def auto_optimize(
+    spark: SparkSession,
+    table: Table,
+    checkpoint_root: str | None = None,
+) -> AutoMaintenanceReport:
+    """Run exactly the maintenance the table's own thresholds call for.
+
+    Order matters and mirrors the reference's event-loop sequencing: data
+    compaction first (it also folds DVs and bucketizes un-indexed files),
+    then DV consolidation for whatever merge-on-read delete files remain,
+    then manifest coalescing, then snapshot expiry. Each step re-reads
+    fresh metadata, so a step only sees what the previous steps left
+    behind; every step is independently a no-op below its threshold, which
+    makes the whole call idempotent — safe on a cron against thousands of
+    tables.
+    """
+    report = AutoMaintenanceReport(triggered=[])
+
+    res = compact(
+        spark,
+        table,
+        mode=BEST_EFFORT,
+        target_bytes=_prop(table, "moonlink.compaction.target-bytes", int),
+        min_files=_prop(table, "moonlink.compaction.min-files", int),
+        max_files=_prop(table, "moonlink.compaction.max-files", int),
+        delete_ratio=_prop(table, "moonlink.compaction.delete-ratio", float),
+        checkpoint_root=checkpoint_root,
+    )
+    if not res.skipped:
+        report.triggered.append("compact")
+        report.compact = res
+
+    rd = rewrite_position_deletes(
+        spark,
+        table,
+        min_files=_prop(table, "moonlink.rewrite-deletes.min-files", int),
+    )
+    if not rd.skipped:
+        report.triggered.append("rewrite-deletes")
+        report.rewrite_deletes = rd
+
+    table.refresh()
+    cur = table.md.current_snapshot()
+    n_manifests = len(cur.manifests) if cur else 0
+    if n_manifests >= _prop(table, "moonlink.manifest-rewrite.min-manifests", int):
+        report.manifest_rewrite = rewrite_manifests(spark, table)
+        report.triggered.append("manifest-rewrite")
+
+    retain = _prop(table, "moonlink.expire.retain-last", int)
+    if retain and retain > 0:
+        ex = expire_snapshots(
+            table,
+            retain_last=retain,
+            older_than_ms=_prop(table, "moonlink.expire.older-than-ms", int),
+        )
+        if not ex.skipped:
+            report.triggered.append("expire")
+            report.expire = ex
+
+    return report

@@ -1,0 +1,111 @@
+"""Threshold-driven automatic maintenance (auto_optimize).
+
+Moonlink triggers compaction / index merge from config thresholds inside its
+snapshot event loop (reference: compaction_config.rs:7-27,
+index_merge_config.rs:9-21, dispatch mooncake_table/snapshot.rs:568-573).
+The batch analog reads the same thresholds from table properties; one
+idempotent auto_optimize call per table per tick does only the work the
+table's state calls for.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.datagen import generate_images
+from moonlink_spark.operators.maintenance import auto_optimize
+from moonlink_spark.operators.merge import merge_cdc_batch
+from moonlink_spark.table.catalog import create_table
+from moonlink_spark.table.scan import scan
+from moonlink_spark.table.writer import write_data_files
+from moonlink_spark.schema import IMAGES_SCHEMA
+
+
+@pytest.fixture()
+def small_file_table(spark, tmp_path):
+    t = create_table(str(tmp_path / "tbl"), IMAGES_SCHEMA)
+    df = generate_images(spark, 400, partitions=4)
+    entries = write_data_files(
+        spark, df, t.new_data_dir(), max_records_per_file=20
+    )
+    t.commit("append", added=entries, lsn=10)
+    return t
+
+
+def test_small_files_trigger_compaction(spark, small_file_table):
+    t = small_file_table
+    n_before = len(t.data_entries())
+    assert n_before >= 16  # above the default min-files threshold
+    rows = scan(spark, t).count()
+
+    report = auto_optimize(spark, t)
+    assert "compact" in report.triggered
+    t.refresh()
+    assert len(t.data_entries()) < n_before
+    assert scan(spark, t).count() == rows
+
+    # idempotent: a second tick has nothing to do
+    report2 = auto_optimize(spark, t)
+    assert report2.triggered == []
+
+
+def test_thresholds_come_from_table_properties(spark, small_file_table):
+    t = small_file_table
+    # raise the bar: 20 small files are now below the compaction trigger
+    t.commit("set-props", properties={"moonlink.compaction.min-files": "999"})
+    report = auto_optimize(spark, t)
+    assert "compact" not in report.triggered
+
+
+def test_dv_accumulation_triggers_rewrite_deletes(spark, small_file_table):
+    t = small_file_table
+    t.commit(
+        "set-props",
+        properties={
+            "moonlink.compaction.min-files": "999",  # keep compaction out
+            "moonlink.rewrite-deletes.min-files": "2",
+        },
+    )
+    # two MERGE batches -> two DV files
+    for i, lsn in enumerate((20, 30)):
+        cdc = (
+            generate_images(spark, 30, partitions=2)
+            .withColumn("op", F.lit("U"))
+            .withColumn("lsn", F.lit(lsn))
+        )
+        merge_cdc_batch(spark, t, cdc, lsn=lsn)
+    t.refresh()
+    assert len(t.delete_entries()) >= 2
+    rows = scan(spark, t).count()
+
+    report = auto_optimize(spark, t)
+    assert report.triggered == ["rewrite-deletes"]
+    t.refresh()
+    assert len(t.delete_entries()) == 1
+    assert scan(spark, t).count() == rows
+
+
+def test_manifest_count_and_expiry_triggers(spark, tmp_path):
+    t = create_table(str(tmp_path / "tbl2"), IMAGES_SCHEMA)
+    t.commit(
+        "set-props",
+        properties={
+            "moonlink.compaction.min-files": "999",
+            "moonlink.manifest-rewrite.min-manifests": "3",
+            "moonlink.expire.retain-last": "2",
+        },
+    )
+    for i in range(4):
+        df = generate_images(spark, 30, partitions=1)
+        entries = write_data_files(spark, df, t.new_data_dir())
+        t.commit("append", added=entries, lsn=100 + i)
+    rows = scan(spark, t).count()
+    n_snaps = len(t.md.snapshots)
+    assert len(t.md.current_snapshot().manifests) >= 3
+
+    report = auto_optimize(spark, t)
+    assert "manifest-rewrite" in report.triggered
+    assert "expire" in report.triggered
+    t.refresh()
+    assert len(t.md.current_snapshot().manifests) < 3
+    assert len(t.md.snapshots) <= max(2, n_snaps)
+    assert scan(spark, t).count() == rows
