@@ -28,6 +28,44 @@ class ExpireResult:
     deleted_data_files: int
     deleted_manifests: int
     skipped: bool = False
+    deleted_metadata_versions: int = 0
+
+
+# Iceberg's write.metadata.previous-versions-max analog: every commit writes
+# a full v{N}.metadata.json root, so a table with 10^6 commits would hold
+# 10^6 root files unless old versions are dropped after commit.
+PREVIOUS_VERSIONS_MAX_PROP = "moonlink.metadata.previous-versions-max"
+DEFAULT_PREVIOUS_VERSIONS_MAX = 20
+
+
+def clean_metadata_versions(table: Table, keep_last: int | None = None) -> int:
+    """Delete ``v{N}.metadata.json`` roots older than the newest
+    ``keep_last`` versions. Readers never need them: the current version is
+    resolved from ``version-hint.text`` (+ a forward probe) and time-travel
+    reads come from the CURRENT metadata's retained snapshot list, never
+    from old roots. Deletion walks BACKWARD from ``current - keep_last``
+    and stops at the first already-missing version, so repeated cleanups
+    cost O(new garbage), not O(history)."""
+    from moonlink_spark.table.catalog import _metadata_path
+
+    if keep_last is None:
+        keep_last = int(
+            table.md.properties.get(
+                PREVIOUS_VERSIONS_MAX_PROP, DEFAULT_PREVIOUS_VERSIONS_MAX
+            )
+        )
+    keep_last = max(2, keep_last)  # always keep a couple for crash forensics
+    deleted = 0
+    v = table.md.version - keep_last
+    while v >= 0:
+        path = _metadata_path(table.location, v)
+        acc = accessor_for(path)
+        if not acc.exists(path):
+            break
+        acc.delete(path)
+        deleted += 1
+        v -= 1
+    return deleted
 
 
 def expire_snapshots(
@@ -129,4 +167,10 @@ def expire_snapshots(
     drop_snaps = {s.file for s in expired if s.file and s.file.startswith(own_roots)}
     for p in drop_files | drop_manifests | drop_snaps:
         accessor_for(p).delete(p)
-    return ExpireResult(len(expired), len(drop_files), len(drop_manifests))
+    n_md = clean_metadata_versions(table)
+    return ExpireResult(
+        len(expired),
+        len(drop_files),
+        len(drop_manifests),
+        deleted_metadata_versions=n_md,
+    )
