@@ -42,6 +42,11 @@ def __getattr__(name):
         "scan_range": ("moonlink_spark.table.scan", "scan_range"),
         "scan_changes": ("moonlink_spark.table.changelog", "scan_changes"),
         "register_view": ("moonlink_spark.table.scan", "register_view"),
+        "inspect_snapshots": ("moonlink_spark.table.inspect", "snapshots"),
+        "inspect_history": ("moonlink_spark.table.inspect", "history"),
+        "inspect_files": ("moonlink_spark.table.inspect", "files"),
+        "inspect_delete_files": ("moonlink_spark.table.inspect", "delete_files"),
+        "inspect_manifests": ("moonlink_spark.table.inspect", "manifests"),
     }
     if name in lazy:
         import importlib
