@@ -678,6 +678,59 @@ def q_engine_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan(spark, t).select(*_LIFECYCLE_COLS)
 
 
+def q_engine_wap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: WRITE-AUDIT-PUBLISH via branch refs (table/refs.py —
+    Iceberg's refs map; the batch analog of moonlink's LSN-gated visibility,
+    mooncake_table.rs:407-412). A third CDC batch (update k%7==0 ' w4',
+    delete k%7==3, insert k%10==9 & k%3==2, LSN 4) is MERGEd onto an audit
+    BRANCH — the full operator stack (distributed planning, bucket/bloom
+    probe, DV write) runs against the branch view. The returned frame holds
+    BOTH phases: main scanned while the staged commit physically exists
+    ('pre-publish' — must equal the 2-batch state, proving isolation) and
+    main after fast_forward ('published' — must show batch 3). Both phases
+    are closed-form, so the oracle checks isolation AND publication."""
+    from moonlink_spark.operators.merge import merge_cdc_batch
+    from moonlink_spark.table.refs import create_branch, fast_forward
+    from moonlink_spark.table.scan import scan
+
+    t = _lifecycle_table(spark, sf_dir)
+    create_branch(t, "audit")
+    bt = t.for_branch("audit")
+
+    k = F.col("o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    upd = _img_rows(orders.filter((k % 10 < 3) & (k % 7 == 0))).withColumn(
+        "caption", F.concat(F.col("caption"), F.lit(" w4"))
+    )
+    ins = _img_rows(orders.filter((k % 10 == 9) & (k % 3 == 2)))
+    u = upd.unionByName(ins).select(
+        F.lit("U").alias("op"), F.col("image_id").cast("long").alias("lsn"), "*"
+    )
+    d = orders.filter((k % 10 < 3) & (k % 7 == 3)).select(
+        F.lit("D").alias("op"),
+        k.cast("long").alias("lsn"),
+        k.cast("string").alias("image_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+        F.lit(None).cast("string").alias("fmt"),
+        F.lit(None).cast("string").alias("caption"),
+        F.lit(None).cast("long").alias("phash"),
+    )
+    merge_cdc_batch(spark, bt, u.unionByName(d), lsn=4)
+
+    # scan() pins the snapshot's file set at CALL time, so this plan reads
+    # main's pre-publish state even though it executes after the publish
+    pre = scan(spark, t.refresh(), columns=_LIFECYCLE_COLS).withColumn(
+        "phase", F.lit("pre-publish")
+    )
+    fast_forward(t, "audit", drop=True)
+    post = scan(spark, t, columns=_LIFECYCLE_COLS).withColumn(
+        "phase", F.lit("published")
+    )
+    return pre.unionByName(post)
+
+
 def _img_rows(df: DataFrame) -> DataFrame:
     """orders → image-schema rows (same mapping as _lifecycle_table)."""
     k = F.col("o_orderkey")
@@ -1187,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_changelog": q_engine_changelog,
         "engine_sync_scan": q_engine_sync_scan,
         "engine_rollback_scan": q_engine_rollback_scan,
+        "engine_wap_scan": q_engine_wap_scan,
         "engine_stream_scan": q_engine_stream_scan,
         "engine_evolve_scan": q_engine_evolve_scan,
         "engine_typed_scan": q_engine_typed_scan,
@@ -1483,6 +1537,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 0))
                OR (k % 10 = 5 AND k % 3 = 0)
                OR (k % 10 = 9 AND k % 3 = 0)
+        """,
+        # write-audit-publish: 'pre-publish' rows = the 2-batch state (the
+        # staged branch commit is invisible on main); 'published' rows =
+        # after fast-forward, batch 3 applied (w4 updates, k%7=3 deletes,
+        # k%10=9&k%3=2 inserts)
+        "engine_wap_scan": _LIFECYCLE_BASE_SQL + """
+            SELECT image_id, caption, phash, phase FROM (
+                SELECT CAST(k AS VARCHAR) AS image_id,
+                       CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
+                            WHEN k % 10 < 3 AND k % 7 = 4 THEN c || ' v3'
+                            ELSE c END AS caption,
+                       ph AS phash, 'pre-publish' AS phase
+                FROM base
+                WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 5))
+                   OR (k % 10 = 5 AND k % 3 = 0)
+                   OR (k % 10 = 7 AND k % 3 = 1)
+                UNION ALL
+                SELECT CAST(k AS VARCHAR) AS image_id,
+                       CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
+                            WHEN k % 10 < 3 AND k % 7 = 4 THEN c || ' v3'
+                            WHEN k % 10 < 3 AND k % 7 = 0 THEN c || ' w4'
+                            ELSE c END AS caption,
+                       ph AS phash, 'published' AS phase
+                FROM base
+                WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 3, 5))
+                   OR (k % 10 = 5 AND k % 3 = 0)
+                   OR (k % 10 = 7 AND k % 3 = 1)
+                   OR (k % 10 = 9 AND k % 3 = 2)
+            )
         """,
         # replica synced per-commit over the changelog == upstream final state
         "engine_sync_scan": _LIFECYCLE_BASE_SQL + """

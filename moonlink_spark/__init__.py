@@ -47,6 +47,13 @@ def __getattr__(name):
         "inspect_files": ("moonlink_spark.table.inspect", "files"),
         "inspect_delete_files": ("moonlink_spark.table.inspect", "delete_files"),
         "inspect_manifests": ("moonlink_spark.table.inspect", "manifests"),
+        "inspect_refs": ("moonlink_spark.table.inspect", "refs"),
+        "create_tag": ("moonlink_spark.table.refs", "create_tag"),
+        "create_branch": ("moonlink_spark.table.refs", "create_branch"),
+        "drop_ref": ("moonlink_spark.table.refs", "drop_ref"),
+        "list_refs": ("moonlink_spark.table.refs", "list_refs"),
+        "resolve_ref": ("moonlink_spark.table.refs", "resolve_ref"),
+        "fast_forward": ("moonlink_spark.table.refs", "fast_forward"),
     }
     if name in lazy:
         import importlib

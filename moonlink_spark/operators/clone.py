@@ -104,6 +104,7 @@ def clone_table(
         snapshots=snapshots,
         properties=props,
         data_location=data_location,
+        refs=dict(md.refs),
     )
     _write_metadata_cas(new_md)
     return Table(new_md)

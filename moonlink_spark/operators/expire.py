@@ -84,6 +84,23 @@ def expire_snapshots(
         retained += [
             s for s in ordered[:-retain_last] if s.timestamp_ms >= older_than_ms
         ]
+    # named refs are retention roots (Iceberg's expire-with-refs rule): a
+    # tag protects its snapshot, a branch protects its head — each snapshot
+    # is self-contained (full manifest list), so protecting the head alone
+    # keeps branch/tag reads byte-identical. A ref past its max_ref_age_ms
+    # is dropped FIRST, releasing its snapshot to normal retention.
+    from moonlink_spark.table.format import now_ms
+
+    live_refs: dict = {}
+    for name, r in md.refs.items():
+        age = r.get("max_ref_age_ms")
+        born = r.get("created_at_ms")
+        if age is not None and born is not None and now_ms() - born > int(age):
+            continue
+        live_refs[name] = r
+    ref_ids = {int(r["snapshot_id"]) for r in live_refs.values()}
+    seen = {s.snapshot_id for s in retained}
+    retained += [s for s in ordered if s.snapshot_id in ref_ids and s.snapshot_id not in seen]
     retained_ids = {s.snapshot_id for s in retained}
     if len(retained_ids) == len(md.snapshots):
         return ExpireResult(0, 0, 0, skipped=True)
@@ -152,6 +169,7 @@ def expire_snapshots(
         snapshots=retained,
         properties=props,
         data_location=md.data_location,
+        refs=live_refs,
     )
     table.replace_metadata(new_md)
 

@@ -150,7 +150,7 @@ def auto_optimize(
         report.rewrite_deletes = rd
 
     table.refresh()
-    cur = table.md.current_snapshot()
+    cur = table.head_snapshot()
     n_manifests = len(cur.manifests) if cur else 0
     if n_manifests >= _prop(table, "moonlink.manifest-rewrite.min-manifests", int):
         report.manifest_rewrite = rewrite_manifests(spark, table)

@@ -44,7 +44,7 @@ def rewrite_manifests(
     min_manifests: int = 2,
 ) -> RewriteResult:
     table.refresh()
-    snap = table.md.current_snapshot()
+    snap = table.head_snapshot()
     if snap is None:
         return RewriteResult(None, 0, 0, 0, 0, skipped=True)
     n_manifests = len(snap.manifests)

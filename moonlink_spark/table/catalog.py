@@ -48,8 +48,14 @@ class ValidationConflict(Exception):
 
 
 class Table:
-    def __init__(self, md: TableMetadata):
+    def __init__(self, md: TableMetadata, branch: str | None = None):
         self.md = md
+        # a non-None branch makes this handle a WRITABLE VIEW of a named
+        # branch ref (table/refs.py): reads resolve the branch head instead
+        # of the current snapshot, and commits advance the ref, never the
+        # main pointer — Iceberg's branch semantics, giving write-audit-
+        # publish isolation on one table.
+        self.branch = branch
 
     # ------------------------------------------------------------ accessors
     @property
@@ -75,19 +81,40 @@ class Table:
 
     @property
     def flush_lsn(self) -> int | None:
-        v = self.md.properties.get(LSN_PROP)
+        if self.branch is not None:
+            head = self.head_snapshot()
+            v = head.summary.get("lsn") if head else None
+        else:
+            v = self.md.properties.get(LSN_PROP)
         return int(v) if v is not None else None
 
     def refresh(self) -> "Table":
         self.md = _read_current_metadata(self.md.location)
         return self
 
+    def head_snapshot(self, snapshot_id: int | None = None) -> Snapshot | None:
+        """The snapshot reads/commits are based on: an explicit id, the
+        branch head (branch handles), or the current snapshot."""
+        if snapshot_id is not None:
+            return self.md.snapshot_by_id(snapshot_id)
+        if self.branch is not None:
+            ref = self.md.refs.get(self.branch)
+            if ref is None:
+                raise KeyError(f"ref {self.branch!r} not found (dropped?)")
+            if ref.get("type") != "branch":
+                raise ValueError(f"ref {self.branch!r} is a tag; tags are read-only")
+            return self.md.snapshot_by_id(ref["snapshot_id"])
+        return self.md.current_snapshot()
+
+    def for_branch(self, name: str) -> "Table":
+        """A writable view of branch ``name`` (shares nothing mutable; each
+        handle refreshes metadata independently)."""
+        t = Table(self.md, branch=name)
+        t.head_snapshot()  # validate now: exists and is a branch
+        return t
+
     def entries(self, snapshot_id: int | None = None, content: str | None = None) -> list[FileEntry]:
-        snap = (
-            self.md.current_snapshot()
-            if snapshot_id is None
-            else self.md.snapshot_by_id(snapshot_id)
-        )
+        snap = self.head_snapshot(snapshot_id)
         if snap is None:
             return []
         out: list[FileEntry] = []
@@ -143,7 +170,9 @@ class Table:
         removed_paths = removed_paths or set()
         seq = md.last_sequence_number + 1
         snap_id = md.last_snapshot_id + 1
-        parent = md.current_snapshot()
+        # branch handles commit on top of the BRANCH head; the main pointer
+        # (and the table flush LSN) move only at publish (refs.fast_forward)
+        parent = self.head_snapshot()
 
         if lsn is not None and self.flush_lsn is not None and lsn < self.flush_lsn:
             raise ValueError(
@@ -202,7 +231,12 @@ class Table:
         )
         write_snapshot(self.metadata_dir, snap)
         props = dict(md.properties)
-        if lsn is not None:
+        refs = dict(md.refs)
+        if self.branch is not None:
+            # the commit LSN rides the snapshot summary; the table-level
+            # flush LSN is main's and advances only when the branch publishes
+            refs[self.branch] = {**refs[self.branch], "snapshot_id": snap_id}
+        elif lsn is not None:
             props[LSN_PROP] = str(int(lsn))
         props.update(properties or {})
 
@@ -213,10 +247,13 @@ class Table:
             version=md.version + 1,
             last_sequence_number=seq,
             last_snapshot_id=snap_id,
-            current_snapshot_id=snap_id,
+            current_snapshot_id=(
+                md.current_snapshot_id if self.branch is not None else snap_id
+            ),
             snapshots=md.snapshots + [snap],
             properties=props,
             data_location=md.data_location,
+            refs=refs,
         )
         _write_metadata_cas(new_md)
         self.md = new_md
@@ -352,6 +389,11 @@ class Table:
         the iceberg-persisted LSN, wal.rs:205-220), so re-merging the undone
         batches is the supported repair path.
         """
+        if self.branch is not None:
+            raise ValueError(
+                "rollback operates on main; re-point the ref instead "
+                "(drop_ref + create_branch)"
+            )
         self.refresh()
         md = self.md
         if (snapshot_id is None) == (lsn is None):
@@ -403,6 +445,7 @@ class Table:
             snapshots=md.snapshots + [snap],
             properties=props,
             data_location=md.data_location,
+            refs=md.refs,
         )
         _write_metadata_cas(new_md)
         self.md = new_md

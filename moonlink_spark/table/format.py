@@ -118,6 +118,10 @@ class TableMetadata:
     # e.g. metadata on an object store (CAS protocol) with data on a
     # Spark/pyarrow-readable filesystem. None = same root as ``location``.
     data_location: str | None = None
+    # named refs (Iceberg's refs map): name -> {"snapshot_id": int,
+    # "type": "tag"|"branch", "created_at_ms": int, "max_ref_age_ms": int?}.
+    # ``main`` is implicit (current_snapshot_id), never stored here.
+    refs: dict = field(default_factory=dict)
 
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
         for s in self.snapshots:
@@ -152,6 +156,7 @@ class TableMetadata:
         d = dict(d)
         d.pop("format_version", None)
         d.setdefault("data_location", None)
+        d.setdefault("refs", {})
         files = d.pop("snapshot_files", None)
         if files is not None:
             d["snapshots"] = [read_snapshot(p) for p in files]

@@ -116,11 +116,7 @@ _MANIFESTS_SCHEMA = StructType(
 def manifests(spark: SparkSession, table: Table, snapshot_id: int | None = None) -> DataFrame:
     """One row per manifest of a snapshot (Iceberg's ``tbl.manifests``)."""
     table.refresh()
-    snap = (
-        table.md.current_snapshot()
-        if snapshot_id is None
-        else table.md.snapshot_by_id(snapshot_id)
-    )
+    snap = table.head_snapshot(snapshot_id)
     rows = []
     for m in snap.manifests if snap else []:
         entries = read_manifest(m)
@@ -167,11 +163,7 @@ def files(
 
     table.refresh()
     if plannable(table, snapshot_id):
-        snap = (
-            table.md.current_snapshot()
-            if snapshot_id is None
-            else table.md.snapshot_by_id(snapshot_id)
-        )
+        snap = table.head_snapshot(snapshot_id)
         df = spark.read.parquet(*snap.manifests)
         df = df.withColumn("stats", F.col("stats").cast("string")).select(*_FILES_COLS)
     else:
@@ -197,3 +189,34 @@ def delete_files(
     spark: SparkSession, table: Table, snapshot_id: int | None = None
 ) -> DataFrame:
     return files(spark, table, snapshot_id=snapshot_id, content="deletes")
+
+
+_REFS_SCHEMA = StructType(
+    [
+        StructField("name", StringType(), False),
+        StructField("type", StringType(), False),
+        StructField("snapshot_id", LongType(), False),
+        StructField("created_at_ms", LongType(), True),
+        StructField("max_ref_age_ms", LongType(), True),
+    ]
+)
+
+
+def refs(spark: SparkSession, table: Table) -> DataFrame:
+    """Named refs incl. the implicit ``main`` (Iceberg's ``tbl.refs``)."""
+    table.refresh()
+    rows = []
+    cur = table.md.current_snapshot()
+    if cur is not None:
+        rows.append(("main", "branch", cur.snapshot_id, None, None))
+    for name, r in sorted(table.md.refs.items()):
+        rows.append(
+            (
+                name,
+                r.get("type"),
+                int(r["snapshot_id"]),
+                r.get("created_at_ms"),
+                r.get("max_ref_age_ms"),
+            )
+        )
+    return spark.createDataFrame(rows, _REFS_SCHEMA)

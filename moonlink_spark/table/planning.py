@@ -46,11 +46,7 @@ def plannable(table: Table, snapshot_id: int | None = None) -> bool:
     prop = table.md.properties.get(PLAN_DISTRIBUTED_PROP)
     if prop == "false":
         return False
-    snap = (
-        table.md.current_snapshot()
-        if snapshot_id is None
-        else table.md.snapshot_by_id(snapshot_id)
-    )
+    snap = table.head_snapshot(snapshot_id)
     if snap is None or not snap.manifests:
         return False
     return all(
@@ -100,11 +96,7 @@ def plan_data_candidates(
     his = hi if isinstance(hi, (list, tuple)) else [hi]
     if not plannable(table, snapshot_id):
         return None
-    snap = (
-        table.md.current_snapshot()
-        if snapshot_id is None
-        else table.md.snapshot_by_id(snapshot_id)
-    )
+    snap = table.head_snapshot(snapshot_id)
     df = spark.read.parquet(*snap.manifests).filter(F.col("content") == DATA)
 
     keep = F.lit(True)
@@ -162,7 +154,7 @@ def plan_compaction_candidates(
     """
     if not plannable(table):
         return None
-    snap = table.md.current_snapshot()
+    snap = table.head_snapshot()
     df = spark.read.parquet(*snap.manifests).filter(F.col("content") == DATA)
     if del_counts_df is not None:
         dc = del_counts_df.select(

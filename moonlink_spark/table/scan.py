@@ -69,8 +69,10 @@ def scan(
     with_pos: bool = False,
     data_entries: list[FileEntry] | None = None,
     delete_entries: list[FileEntry] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """LSN-consistent scan of a snapshot (default: current).
+    """LSN-consistent scan of a snapshot (default: current; ``ref`` names a
+    tag/branch — time travel by human name, table/refs.py).
 
     ``data_entries`` lets callers scan a pruned / selected subset of the
     snapshot's files (compaction bins, stat-pruned MERGE probes) while still
@@ -78,6 +80,12 @@ def scan(
     the delete set the same way (changelog insert reads pass [] because a
     commit's new files cannot be referenced by its own DVs).
     """
+    if ref is not None:
+        from moonlink_spark.table.refs import resolve_ref
+
+        if snapshot_id is not None:
+            raise ValueError("pass either snapshot_id or ref, not both")
+        snapshot_id = resolve_ref(table, ref)
     schema = table.schema
     entries = data_entries if data_entries is not None else table.data_entries(snapshot_id)
     if delete_entries is None:
