@@ -424,6 +424,7 @@ def _build_lifecycle_table(
     post: str | None = None,
     extra_props: dict | None = None,
     each_commit: Callable | None = None,
+    merge_mode: str = "eager",
 ):
     """Build an image-schema table from orders; apply two CDC batches via
     merge_cdc_batch; optionally run maintenance. Returns the Table.
@@ -504,7 +505,7 @@ def _build_lifecycle_table(
             F.lit("U").alias("op"), F.col("image_id").cast("long").alias("lsn"), "*"
         )
     )
-    merge_cdc_batch(spark, t, b1, lsn=2)
+    merge_cdc_batch(spark, t, b1, lsn=2, mode=merge_mode)
     if each_commit:
         each_commit(t)
 
@@ -517,7 +518,7 @@ def _build_lifecycle_table(
             F.lit("U").alias("op"), F.col("image_id").cast("long").alias("lsn"), "*"
         )
     )
-    merge_cdc_batch(spark, t, b2, lsn=3)
+    merge_cdc_batch(spark, t, b2, lsn=3, mode=merge_mode)
     if each_commit:
         each_commit(t)
 
@@ -727,6 +728,31 @@ def q_engine_wap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fast_forward(t, "audit", drop=True)
     post = scan(spark, t, columns=_LIFECYCLE_COLS).withColumn(
         "phase", F.lit("published")
+    )
+    return pre.unionByName(post)
+
+
+def q_engine_lazy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: LAZY MERGE via equality deletes (operators/merge.py
+    mode='lazy' → format.py EQ_DELETES; moonlink's delete-by-key buffering,
+    mooncake_table.rs:1160-1184, as Iceberg v2 eq-deletes). Both lifecycle
+    CDC batches commit with ZERO table reads — keys land in eq-delete files
+    resolved at scan under the sequence rule (a commit's own upserts
+    survive, every older key version dies). Two phases in one frame:
+    'merge-on-read' (eq keys applied by the scan anti-join) and 'compacted'
+    (after full maintenance folds the keys into rewrites and drops the eq
+    files) — both must equal the eager-MERGE closed form, proving
+    read-path application ≡ compaction folding ≡ eager probing."""
+    from moonlink_spark.operators.maintenance import optimize_table
+    from moonlink_spark.table.scan import scan
+
+    t = _build_lifecycle_table(spark, sf_dir, merge_mode="lazy")
+    pre = scan(spark, t, columns=_LIFECYCLE_COLS).withColumn(
+        "phase", F.lit("merge-on-read")
+    )
+    optimize_table(spark, t, mode="full", retain_last=10)
+    post = scan(spark, t.refresh(), columns=_LIFECYCLE_COLS).withColumn(
+        "phase", F.lit("compacted")
     )
     return pre.unionByName(post)
 
@@ -1241,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_sync_scan": q_engine_sync_scan,
         "engine_rollback_scan": q_engine_rollback_scan,
         "engine_wap_scan": q_engine_wap_scan,
+        "engine_lazy_scan": q_engine_lazy_scan,
         "engine_stream_scan": q_engine_stream_scan,
         "engine_evolve_scan": q_engine_evolve_scan,
         "engine_typed_scan": q_engine_typed_scan,
@@ -1566,6 +1593,21 @@ def oracle_sql() -> dict[str, str]:
                    OR (k % 10 = 7 AND k % 3 = 1)
                    OR (k % 10 = 9 AND k % 3 = 2)
             )
+        """,
+        # lazy (equality-delete) MERGE: both phases equal the eager final
+        # state — 'merge-on-read' via the scan-time key anti-join,
+        # 'compacted' after maintenance folds the keys into rewrites
+        "engine_lazy_scan": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
+                        WHEN k % 10 < 3 AND k % 7 = 4 THEN c || ' v3'
+                        ELSE c END AS caption,
+                   ph AS phash, phase
+            FROM base
+            CROSS JOIN (SELECT UNNEST(['merge-on-read', 'compacted']) AS phase)
+            WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 5))
+               OR (k % 10 = 5 AND k % 3 = 0)
+               OR (k % 10 = 7 AND k % 3 = 1)
         """,
         # replica synced per-commit over the changelog == upstream final state
         "engine_sync_scan": _LIFECYCLE_BASE_SQL + """

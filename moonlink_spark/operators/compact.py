@@ -209,6 +209,46 @@ def removable_delete_files(
     return {r["src"] for r in refs}
 
 
+def removable_eq_delete_files(
+    spark: SparkSession, table: Table, removed_data_paths: set[str]
+) -> set[str]:
+    """Equality-delete files with no remaining target — droppable in the
+    same commit. An eq-delete at sequence S applies only to data files with
+    sequence < S (table/scan.py rule); compaction outputs take the NEW
+    commit sequence (their rows were eq-filtered during the rewrite read),
+    so after removing ``removed_data_paths`` the file is dangling iff every
+    SURVIVING data file has sequence >= S. Needs only the min surviving
+    sequence — one distributed agg over parquet manifests at scale."""
+    from moonlink_spark.table.format import DATA, EQ_DELETES
+    from moonlink_spark.table.planning import plannable
+
+    eqs = table.entries(content=EQ_DELETES)
+    if not eqs:
+        return set()
+    if plannable(table):
+        snap = table.head_snapshot()
+        df = spark.read.parquet(*snap.manifests).filter(F.col("content") == DATA)
+        rem = spark.createDataFrame(
+            [(p,) for p in removed_data_paths] or [("",)], "rp string"
+        )
+        row = (
+            df.join(F.broadcast(rem), df["path"] == rem["rp"], "left_anti")
+            .agg(F.min("sequence_number").alias("m"))
+            .collect()[0]
+        )
+        min_seq = row["m"]
+    else:
+        min_seq = min(
+            (
+                e.sequence_number
+                for e in table.data_entries()
+                if e.path not in removed_data_paths
+            ),
+            default=None,
+        )
+    return {e.path for e in eqs if min_seq is None or e.sequence_number <= min_seq}
+
+
 def _live_bytes(e: FileEntry, del_counts: dict[str, int]) -> int:
     live_frac = 1.0 - (del_counts.get(e.path, 0) / max(e.record_count, 1))
     return int(e.file_size_bytes * live_frac)
@@ -538,6 +578,7 @@ def compact(
 
     # delete files now fully dangling → drop in the same commit
     removable_deletes = removable_delete_files(spark, table, sel_paths)
+    removable_deletes |= removable_eq_delete_files(spark, table, sel_paths)
 
     metrics = {
         "mode": mode,

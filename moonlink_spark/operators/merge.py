@@ -47,6 +47,7 @@ from moonlink_spark.table.writer import (
     table_buckets,
     write_data_files,
     write_delete_files,
+    write_eq_delete_files,
 )
 
 # Broadcast ceiling for the key-only probe side — same sizing logic as the
@@ -93,6 +94,7 @@ def merge_cdc_batch(
     dedup_salt_buckets: int = 16,  # retained for API compat (skew is handled structurally; see salting.latest_wins_dedup)
     avg_row_bytes: int | None = None,  # None: estimated from manifest stats
     checkpoint_root: str | None = None,
+    mode: str = "eager",
 ) -> MergeResult:
     """Apply a CDC batch (schema: op, lsn, <table columns>) at commit ``lsn``.
 
@@ -104,6 +106,16 @@ def merge_cdc_batch(
     (moonlink IdentityProp::Keys, moonlink_row.rs:271-280; FullRow = every
     column), or None to use the table's declared identity (IDENTITY_PROP,
     default MERGE_KEY). All identity columns must be non-null.
+
+    ``mode``: ``"eager"`` (default) probes the table and writes positional
+    deletes — read-optimized. ``"lazy"`` writes the batch's identity keys
+    as ONE equality-delete file and skips the probe entirely (Iceberg v2
+    eq-deletes; moonlink's delete-by-key buffering,
+    mooncake_table.rs:1160-1184): commit cost is strictly O(batch) with
+    ZERO table reads — the latency-optimized ingest path for hot streams —
+    at the price of a key anti-join at scan until compaction folds the
+    keys into data rewrites (the flush-fast / resolve-on-maintenance split
+    taken one step further).
     """
     table.refresh()
     if table.flush_lsn is not None and table.flush_lsn >= lsn:
@@ -166,6 +178,73 @@ def merge_cdc_batch(
         )
     bounds = [(k, agg[f"__lo_{k}"], agg[f"__hi_{k}"]) for k in boundable]
     deduped = staged.join(winners, [*keys, ORD_COL], "left_semi").drop(ORD_COL)
+
+    def _write_upserts() -> list[FileEntry]:
+        if agg["n_up"] == 0:
+            return []
+        ups = deduped.filter(F.col("op") == "U").select(
+            *[f.name for f in table.schema.fields]
+        )
+        # size files via maxRecordsPerFile and KEEP the batch's partitioning —
+        # never repartition down to ceil(bytes/128MB) tasks (that serialized
+        # big-image batches onto 1-2 writers); undersized files are
+        # compaction's job to merge later, exactly the moonlink flush/compact
+        # split (mooncake_table_config.rs:24 vs compaction_config.rs:52).
+        # Inserts are NOT bucketed at flush time: that would shuffle the
+        # payload on the ingest hot path; compaction bucketizes later.
+        rpf = max(256, FLUSH_TARGET_BYTES // _estimate_row_bytes(table, avg_row_bytes))
+        entries = write_data_files(
+            spark,
+            ups,
+            table.new_data_dir(),
+            max_records_per_file=rpf,
+            field_id_schema=table.schema,
+        )
+        return [e for e in entries if e.record_count > 0]
+
+    if mode == "lazy":
+        # equality-delete path: NO probe, NO table read — the batch's winner
+        # keys become one eq-delete file (applies to strictly-older data
+        # files, so this commit's own upserts survive; table/scan.py rule)
+        def write_eq() -> list[FileEntry]:
+            if n_cdc == 0:
+                return []
+            return write_eq_delete_files(
+                spark, winners.select(*keys), table.new_delete_dir(), keys
+            )
+
+        t0 = time.perf_counter()
+        if ckpt:
+            eq_entries = ckpt.run("eq-deletes", write_eq, sources=["cdc"]).entries
+            ins_entries = ckpt.run("inserts", _write_upserts, sources=["cdc"]).entries
+        else:
+            eq_entries = write_eq()
+            ins_entries = _write_upserts()
+        n_upserted = sum(e.record_count for e in ins_entries)
+        n_keys = sum(e.record_count for e in eq_entries)
+        metrics = {
+            "mode": "lazy",
+            "cdc_rows": n_cdc,
+            "eq_delete_keys": n_keys,
+            "upserted": n_upserted,
+            "data_files": len(ins_entries),
+            "write_sec": round(time.perf_counter() - t0, 3),
+        }
+        # no referenced_data_paths: a lazy merge depends on NO existing file,
+        # so it composes conflict-free with concurrent compaction (the eq
+        # keys apply to the rewritten files by the sequence rule); racing
+        # MERGEs still serialize on the operation name
+        snap = table.commit_with_retry(
+            "merge",
+            added=eq_entries + ins_entries,
+            conflict_on_operations={"merge"},
+            lsn=lsn,
+            summary_extra={"merge-metrics": metrics},
+        )
+        winners.unpersist()
+        return MergeResult(snap, n_upserted, n_keys, 0, metrics=metrics)
+    elif mode != "eager":
+        raise ValueError(f"unknown merge mode {mode!r} (eager|lazy)")
 
     # prune candidate data files — the GlobalIndex probe, three stages
     # (reference: src/moonlink/src/storage/index/persisted_bucket_hash_map.rs:276-307):
@@ -247,43 +326,16 @@ def merge_cdc_batch(
         )
         return [e for e in entries if e.record_count > 0]
 
-    def write_inserts() -> list[FileEntry]:
-        if agg["n_up"] == 0:
-            return []
-        ups = deduped.filter(F.col("op") == "U").select(
-            *[f.name for f in table.schema.fields]
-        )
-        # size files via maxRecordsPerFile and KEEP the batch's partitioning —
-        # never repartition down to ceil(bytes/128MB) tasks (that serialized
-        # big-image batches onto 1-2 writers); undersized files are
-        # compaction's job to merge later, exactly the moonlink flush/compact
-        # split (mooncake_table_config.rs:24 vs compaction_config.rs:52)
-        # inserts are NOT bucketed at flush time: that would shuffle the
-        # payload on the ingest hot path. Compaction bucketizes later
-        # (moonlink's flush-fast / index-on-maintenance split,
-        # mooncake_table_config.rs:24 vs compaction_config.rs:52); until
-        # then these recent files are always probe candidates, which is
-        # cheap because they are few and the probe is column-pruned.
-        rpf = max(256, FLUSH_TARGET_BYTES // _estimate_row_bytes(table, avg_row_bytes))
-        entries = write_data_files(
-            spark,
-            ups,
-            table.new_data_dir(),
-            max_records_per_file=rpf,
-            field_id_schema=table.schema,
-        )
-        return [e for e in entries if e.record_count > 0]
-
     src = [e.path for e in candidates]
     t0 = time.perf_counter()
     if ckpt:
         del_entries = ckpt.run("deletes", write_deletes, sources=src).entries
         t1 = time.perf_counter()
-        ins_entries = ckpt.run("inserts", write_inserts, sources=["cdc"]).entries
+        ins_entries = ckpt.run("inserts", _write_upserts, sources=["cdc"]).entries
     else:
         del_entries = write_deletes()
         t1 = time.perf_counter()
-        ins_entries = write_inserts()
+        ins_entries = _write_upserts()
     t2 = time.perf_counter()
 
     n_upserted = sum(e.record_count for e in ins_entries)

@@ -328,17 +328,25 @@ class Table:
                             f"{sorted(gone)[:3]}); re-run against fresh state"
                         ) from e
                 if conflict_on_new_deletes:
+                    # positional DVs would DANGLE after the rewrite; a
+                    # concurrent eq-delete (lazy MERGE) is subtler: the
+                    # rewrite's outputs take a NEWER sequence than the eq
+                    # file, so keys this rewrite re-materializes would
+                    # escape a delete committed before it — same re-plan rule
+                    from moonlink_spark.table.format import EQ_DELETES
+
                     fresh_dvs = [
                         en
-                        for en in self.entries(content="deletes")
+                        for c in (DELETES, EQ_DELETES)
+                        for en in self.entries(content=c)
                         if en.sequence_number > base_seq
                     ]
                     if fresh_dvs:
                         raise ValidationConflict(
-                            f"{operation}: {len(fresh_dvs)} positional-delete "
-                            "file(s) were committed concurrently; their positions"
-                            " would dangle after this rewrite — re-plan against "
-                            "fresh state"
+                            f"{operation}: {len(fresh_dvs)} delete "
+                            "file(s) were committed concurrently; they would "
+                            "dangle or mis-apply after this rewrite — re-plan "
+                            "against fresh state"
                         ) from e
                 if conflict_on_operations:
                     clashing = [

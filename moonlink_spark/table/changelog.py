@@ -38,7 +38,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from moonlink_spark.table.catalog import Table
 from moonlink_spark.table.dv import read_delete_positions
-from moonlink_spark.table.format import DATA, DELETES, Snapshot
+from moonlink_spark.table.format import DATA, DELETES, EQ_DELETES, Snapshot
 from moonlink_spark.table.scan import FILE_COL, POS_COL, scan
 
 CHANGE_TYPE_COL = "_change_type"
@@ -212,6 +212,61 @@ def scan_changes(
                 ]
                 parts.append(
                     pre.join(dels, cond, "inner").select(
+                        *out,
+                        F.lit("delete").alias(CHANGE_TYPE_COL),
+                        F.lit(lsn).cast("long").alias(CHANGE_LSN_COL),
+                    )
+                )
+
+        added_eqs = [
+            e
+            for e in table.entries(s.snapshot_id, EQ_DELETES)
+            if e.sequence_number == s.sequence_number
+        ]
+        if added_eqs:
+            # lazy-MERGE commit (equality deletes): the pre-images are the
+            # rows LIVE before this commit whose identity keys the commit
+            # deleted — a SEMI join of the pre-state against the commit's
+            # key set (the deferred probe the lazy write skipped, running
+            # here only for consumers that asked for the event stream)
+            from moonlink_spark.schema import table_identity
+
+            keys = table_identity(table)
+            older = [
+                e
+                for e in table.entries(s.snapshot_id, DATA)
+                if e.sequence_number < s.sequence_number
+            ]
+            if older:
+                pre = scan(
+                    spark,
+                    table,
+                    snapshot_id=s.snapshot_id,
+                    columns=sorted(set(pre_cols) | set(keys)),
+                    data_entries=older,
+                    eq_delete_entries=[
+                        e
+                        for e in table.entries(s.snapshot_id, EQ_DELETES)
+                        if e.sequence_number < s.sequence_number
+                    ],
+                )
+                kdf = (
+                    spark.read.parquet(*[e.path for e in added_eqs])
+                    .select(*keys)
+                    .distinct()
+                )
+                n_eq = sum(e.record_count for e in added_eqs)
+                if n_eq <= _BROADCAST_DELETE_ROWS:
+                    kdf = F.broadcast(kdf)
+                schema = table.schema
+                out = [
+                    F.col(c)
+                    if c in pre_cols
+                    else F.lit(None).cast(schema[c].dataType).alias(c)
+                    for c in cols
+                ]
+                parts.append(
+                    pre.join(kdf, keys, "left_semi").select(
                         *out,
                         F.lit("delete").alias(CHANGE_TYPE_COL),
                         F.lit(lsn).cast("long").alias(CHANGE_LSN_COL),

@@ -48,6 +48,12 @@ LSN_PROP = "moonlink.table-flush-lsn"
 
 DATA = "data"
 DELETES = "deletes"
+# equality deletes (Iceberg v2): rows of IDENTITY-KEY values that delete
+# every matching row in data files with sequence_number STRICTLY BELOW the
+# delete file's — the batch analog of moonlink buffering deletes by key and
+# resolving them later (mooncake_table.rs:1160-1184 delete-by-lookup,
+# resolved at snapshot time). Written by lazy MERGE; folded by compaction.
+EQ_DELETES = "eq-deletes"
 
 
 @dataclass

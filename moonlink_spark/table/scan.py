@@ -69,6 +69,7 @@ def scan(
     with_pos: bool = False,
     data_entries: list[FileEntry] | None = None,
     delete_entries: list[FileEntry] | None = None,
+    eq_delete_entries: list[FileEntry] | None = None,
     ref: str | None = None,
 ) -> DataFrame:
     """LSN-consistent scan of a snapshot (default: current; ``ref`` names a
@@ -90,6 +91,10 @@ def scan(
     entries = data_entries if data_entries is not None else table.data_entries(snapshot_id)
     if delete_entries is None:
         delete_entries = table.delete_entries(snapshot_id)
+    if eq_delete_entries is None:
+        from moonlink_spark.table.format import EQ_DELETES
+
+        eq_delete_entries = table.entries(snapshot_id, EQ_DELETES)
 
     out_cols = columns or [f.name for f in schema.fields]
 
@@ -154,9 +159,83 @@ def scan(
             dels = F.broadcast(dels)
         df = df.join(dels, cond, "left_anti")
 
+    if eq_delete_entries:
+        df = _apply_eq_deletes(spark, table, df, entries, eq_delete_entries)
+
     if not with_pos:
         df = df.drop(FILE_COL, POS_COL)
     return df
+
+
+_DSEQ_COL = "__dseq"
+
+
+def _apply_eq_deletes(
+    spark: SparkSession,
+    table: Table,
+    df: DataFrame,
+    data_entries: list[FileEntry],
+    eq_entries: list[FileEntry],
+) -> DataFrame:
+    """Anti-join the scan against equality-delete keys under the Iceberg v2
+    sequence rule: an eq-delete (seq S) kills a row iff the row's DATA file
+    has sequence_number < S — so a lazy MERGE's own upserts (same commit
+    seq) survive while every older version of the key dies. Zero cost when
+    the snapshot has no eq-delete files (compaction folds them and drops
+    the entries). Both join sides are metadata-scale: the per-data-file seq
+    map and the delete keys broadcast below the usual ceiling."""
+    from moonlink_spark.schema import table_identity
+    from moonlink_spark.table.writer import EQ_KEYS_STAT
+
+    keys = table_identity(table)
+    for e in eq_entries:
+        wrote = e.stats.get(EQ_KEYS_STAT, "")
+        if wrote and wrote.split(",") != keys:
+            raise ValueError(
+                f"eq-delete file {e.path} was written over identity "
+                f"[{wrote}] but the table now declares {keys}; re-declare "
+                "the identity only after compacting eq-deletes away"
+            )
+    # per-row data sequence number via a tiny broadcast (path -> seq)
+    seq_map = F.broadcast(
+        spark.createDataFrame(
+            [(e.path, e.sequence_number) for e in data_entries],
+            f"__dpath string, {_DSEQ_COL} long",
+        )
+    )
+    df = df.join(seq_map, df[FILE_COL] == seq_map["__dpath"], "left").drop("__dpath")
+    # eq files grouped by THEIR sequence number (few distinct commits alive
+    # at once — compaction keeps it so); keys deduped per seq group
+    by_seq: dict[int, list[FileEntry]] = {}
+    for e in eq_entries:
+        by_seq.setdefault(e.sequence_number, []).append(e)
+    # eq files are engine-written with exact key names and no field ids —
+    # name resolution (id-stripped schema) is the correct read for them
+    from moonlink_spark.table.fieldids import strip_field_ids
+
+    key_schema = strip_field_ids(
+        StructType([f for f in table.schema.fields if f.name in keys])
+    )
+    parts = []
+    for s, group in sorted(by_seq.items()):
+        parts.append(
+            spark.read.schema(key_schema)
+            .parquet(*[e.path for e in group])
+            .select(*keys)
+            .withColumn("__eseq", F.lit(int(s)))
+        )
+    eq = parts[0]
+    for p in parts[1:]:
+        eq = eq.unionByName(p)
+    eq = eq.select(*[F.col(k).alias(f"__eq_{k}") for k in keys], "__eseq")
+    n_eq = sum(e.record_count for e in eq_entries)
+    if n_eq <= _BROADCAST_DELETE_ROWS:
+        eq = F.broadcast(eq)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (df[k] == F.col(f"__eq_{k}"))
+    cond = cond & (F.col("__eseq") > F.col(_DSEQ_COL))
+    return df.join(eq, cond, "left_anti").drop(_DSEQ_COL)
 
 
 def scan_at_lsn(spark: SparkSession, table: Table, lsn: int, **kw) -> DataFrame:

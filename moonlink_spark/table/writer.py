@@ -17,7 +17,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from moonlink_spark.table.format import DATA, DELETES, FileEntry
+from moonlink_spark.table.format import DATA, DELETES, EQ_DELETES, FileEntry
 from moonlink_spark.table.io import accessor_for
 from moonlink_spark.table.stats import collect_file_entries
 
@@ -217,3 +217,32 @@ def write_delete_files(
         e.record_count = int(sum(col.to_pylist())) if len(col) else 0
         e.stats[DV_FORMAT_STAT] = DV2C
     return entries
+
+
+# the identity-key column list an eq-delete file was written over, recorded
+# in its manifest entry so a later identity re-declaration cannot silently
+# mis-apply old delete files (scan fails loudly on mismatch)
+EQ_KEYS_STAT = "__eq_keys"
+
+
+def write_eq_delete_files(
+    spark: SparkSession,
+    keys_df: DataFrame,
+    out_dir: str,
+    keys: list[str],
+    num_files: int = 1,
+) -> list[FileEntry]:
+    """Write EQUALITY delete files (Iceberg v2 eq-deletes): one row per
+    deleted identity-key tuple. Applied at scan to data files with a
+    STRICTLY LOWER sequence number (format.py EQ_DELETES) — the lazy half
+    of moonlink's delete-by-key buffering (mooncake_table.rs:1160-1184):
+    the write is O(batch keys) with NO probe read; the key lookup happens
+    at scan / compaction instead."""
+    df = keys_df.select(*keys)
+    if num_files:
+        df = df.repartition(num_files)
+    df.write.mode("append").parquet(out_dir)
+    entries = collect_file_entries(spark, list_parquet(out_dir), content=EQ_DELETES)
+    for e in entries:
+        e.stats[EQ_KEYS_STAT] = ",".join(keys)
+    return [e for e in entries if e.record_count > 0]

@@ -110,7 +110,7 @@ def test_concurrent_dv_adds_block_replace(loc):
     # a MERGE lands DVs first; b's staged compaction of e1 must re-plan —
     # the DV positions could target e1 and would dangle after the rewrite
     a.commit("merge", added=[_deletes_entry("a")])
-    with pytest.raises(ValidationConflict, match="positional-delete"):
+    with pytest.raises(ValidationConflict, match="delete"):
         b.commit_with_retry(
             "compact",
             added=[_entry("b-out")],
