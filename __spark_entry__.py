@@ -738,11 +738,15 @@ def q_engine_lazy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     mooncake_table.rs:1160-1184, as Iceberg v2 eq-deletes). Both lifecycle
     CDC batches commit with ZERO table reads — keys land in eq-delete files
     resolved at scan under the sequence rule (a commit's own upserts
-    survive, every older key version dies). Two phases in one frame:
-    'merge-on-read' (eq keys applied by the scan anti-join) and 'compacted'
-    (after full maintenance folds the keys into rewrites and drops the eq
-    files) — both must equal the eager-MERGE closed form, proving
-    read-path application ≡ compaction folding ≡ eager probing."""
+    survive, every older key version dies). Three phases in one frame:
+    'merge-on-read' (eq keys applied by the scan anti-join), 'resolved'
+    (after rewrite_equality_deletes pays the key probe ONCE and converts
+    keys to positional DVs — data files byte-identical, eq files dropped),
+    and 'compacted' (after full maintenance folds everything into
+    rewrites) — all must equal the eager-MERGE closed form, proving
+    read-path application ≡ key-probe resolution ≡ compaction folding ≡
+    eager probing."""
+    from moonlink_spark.operators.compact import rewrite_equality_deletes
     from moonlink_spark.operators.maintenance import optimize_table
     from moonlink_spark.table.scan import scan
 
@@ -750,11 +754,15 @@ def q_engine_lazy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = scan(spark, t, columns=_LIFECYCLE_COLS).withColumn(
         "phase", F.lit("merge-on-read")
     )
+    rewrite_equality_deletes(spark, t)
+    mid = scan(spark, t.refresh(), columns=_LIFECYCLE_COLS).withColumn(
+        "phase", F.lit("resolved")
+    )
     optimize_table(spark, t, mode="full", retain_last=10)
     post = scan(spark, t.refresh(), columns=_LIFECYCLE_COLS).withColumn(
         "phase", F.lit("compacted")
     )
-    return pre.unionByName(post)
+    return pre.unionByName(mid).unionByName(post)
 
 
 def _img_rows(df: DataFrame) -> DataFrame:
@@ -1594,9 +1602,11 @@ def oracle_sql() -> dict[str, str]:
                    OR (k % 10 = 9 AND k % 3 = 2)
             )
         """,
-        # lazy (equality-delete) MERGE: both phases equal the eager final
-        # state — 'merge-on-read' via the scan-time key anti-join,
-        # 'compacted' after maintenance folds the keys into rewrites
+        # lazy (equality-delete) MERGE: all three phases equal the eager
+        # final state — 'merge-on-read' via the scan-time key anti-join,
+        # 'resolved' after rewrite_equality_deletes converts keys to
+        # positional DVs (no data rewrite), 'compacted' after maintenance
+        # folds everything into rewrites
         "engine_lazy_scan": _LIFECYCLE_BASE_SQL + """
             SELECT CAST(k AS VARCHAR) AS image_id,
                    CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
@@ -1604,7 +1614,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE c END AS caption,
                    ph AS phash, phase
             FROM base
-            CROSS JOIN (SELECT UNNEST(['merge-on-read', 'compacted']) AS phase)
+            CROSS JOIN (SELECT UNNEST(['merge-on-read', 'resolved', 'compacted']) AS phase)
             WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 5))
                OR (k % 10 = 5 AND k % 3 = 0)
                OR (k % 10 = 7 AND k % 3 = 1)

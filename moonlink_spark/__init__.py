@@ -54,6 +54,10 @@ def __getattr__(name):
         "list_refs": ("moonlink_spark.table.refs", "list_refs"),
         "resolve_ref": ("moonlink_spark.table.refs", "resolve_ref"),
         "fast_forward": ("moonlink_spark.table.refs", "fast_forward"),
+        "rewrite_equality_deletes": (
+            "moonlink_spark.operators.compact",
+            "rewrite_equality_deletes",
+        ),
     }
     if name in lazy:
         import importlib

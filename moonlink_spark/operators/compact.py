@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from moonlink_spark.checkpoint import JobCheckpoint
 from moonlink_spark.table.catalog import Table
-from moonlink_spark.table.format import FileEntry, Snapshot
+from moonlink_spark.table.format import EQ_DELETES, FileEntry, Snapshot
 from moonlink_spark.table.io import accessor_for
 from moonlink_spark.table.scan import scan
 from moonlink_spark.table.stats import collect_file_entries
@@ -175,6 +175,82 @@ def rewrite_position_deletes(
         },
     )
     return RewriteDeletesResult(snap, len(dels), len(entries), max(0, n_in - n_out))
+
+
+def rewrite_equality_deletes(
+    spark: SparkSession,
+    table: Table,
+    min_files: int = 1,
+    num_files: int = 1,
+) -> RewriteDeletesResult:
+    """Resolve accumulated EQUALITY deletes into positional DVs without
+    rewriting any row data — the deferred half of moonlink's delete-by-key
+    resolution (keys buffered at ingest, positions resolved at snapshot
+    time, mooncake_table.rs:1160-1184 → snapshot.rs:774-1003). Lazy MERGE
+    keeps the ingest path O(batch); this maintenance action pays the key
+    probe ONCE (a column-pruned identity scan, the same job an eager MERGE
+    would have run per batch) and converts every matched row to a DV bit,
+    dropping the eq files in the same commit.
+
+    Why a separate action from compaction: folding eq-deletes by data
+    rewrite is O(table bytes) — every file older than the newest eq file
+    is affected. This is O(key columns + matches): scans afterwards apply
+    one small DV set instead of a per-row key anti-join, and data files
+    stay byte-identical (clusterings, blooms, stats all stay valid).
+
+    Safe under the v2 sequence rules: the new DV rows commit at a NEWER
+    sequence than every data file they reference, and rows matched here
+    are exactly the rows the eq anti-join would have filtered (the inner
+    join below uses the same predicate). Conflicts: a concurrent MERGE's
+    new deletes/upserts would change the match set — serialized via
+    conflict_on_operations, like any mutating batch.
+    """
+    from moonlink_spark.table.scan import (
+        FILE_COL,
+        POS_COL,
+        attach_data_seq,
+        eq_delete_frame,
+        eq_match_cond,
+        scan,
+    )
+
+    table.refresh()
+    eqs = table.entries(content=EQ_DELETES)
+    if len(eqs) < min_files:
+        return RewriteDeletesResult(None, len(eqs), len(eqs), 0, skipped=True)
+    eq, keys = eq_delete_frame(spark, table, eqs)
+    data = table.data_entries()
+    # rows NOT yet DV-deleted, eq rule NOT applied (we're materializing it);
+    # column-pruned to the identity keys — payload bytes never read
+    rows = scan(
+        spark, table, columns=keys, with_pos=True, eq_delete_entries=[]
+    )
+    rows = attach_data_seq(spark, rows, data)
+    matched = rows.join(eq, eq_match_cond(rows, keys), "inner").select(
+        F.col(FILE_COL).alias("file_path"), F.col(POS_COL).alias("pos")
+    )
+    entries = [
+        e
+        for e in write_delete_files(
+            spark, matched, table.new_delete_dir(), num_files=num_files
+        )
+        if e.record_count > 0
+    ]
+    n_keys = sum(e.record_count for e in eqs)
+    n_pos = sum(e.record_count for e in entries)
+    snap = table.commit_with_retry(
+        "rewrite-deletes",
+        added=entries,
+        removed_paths={e.path for e in eqs},
+        referenced_data_paths={e.path for e in data},
+        conflict_on_operations={"merge"},
+        summary_extra={
+            "resolved-eq-files": len(eqs),
+            "resolved-eq-keys": n_keys,
+            "materialized-positions": n_pos,
+        },
+    )
+    return RewriteDeletesResult(snap, len(eqs), len(entries), 0)
 
 
 def removable_delete_files(

@@ -25,6 +25,7 @@ from moonlink_spark.operators.compact import (
     FORCE_REGULAR,
     FULL,
     compact,
+    rewrite_equality_deletes,
     rewrite_position_deletes,
 )
 from moonlink_spark.operators.expire import expire_snapshots
@@ -82,6 +83,10 @@ AUTO_DEFAULTS = {
     "moonlink.compaction.max-files": "32",
     "moonlink.compaction.target-bytes": str(COMPACT_TARGET_BYTES),
     "moonlink.compaction.delete-ratio": "0.5",
+    # equality-delete resolution (lazy MERGE residue): pay the key probe
+    # once and convert keys -> positional DVs, so scans drop the per-row
+    # key anti-join without an O(table) data rewrite
+    "moonlink.resolve-eq-deletes.min-files": "4",
     # DV-file consolidation between compactions (merge-on-read hygiene)
     "moonlink.rewrite-deletes.min-files": "8",
     # manifest coalescing (the index-merge analog: metadata-scale objects)
@@ -103,6 +108,7 @@ def _prop(table: Table, name: str, cast):
 class AutoMaintenanceReport:
     triggered: list[str]
     compact: object | None = None
+    resolve_eq_deletes: object | None = None
     rewrite_deletes: object | None = None
     manifest_rewrite: object | None = None
     expire: object | None = None
@@ -115,16 +121,29 @@ def auto_optimize(
 ) -> AutoMaintenanceReport:
     """Run exactly the maintenance the table's own thresholds call for.
 
-    Order matters and mirrors the reference's event-loop sequencing: data
-    compaction first (it also folds DVs and bucketizes un-indexed files),
-    then DV consolidation for whatever merge-on-read delete files remain,
-    then manifest coalescing, then snapshot expiry. Each step re-reads
+    Order matters and mirrors the reference's event-loop sequencing:
+    equality-delete resolution first (the cheap key probe — O(key columns +
+    matches), no data rewrite — so compaction never pays the O(table) fold
+    for keys a DV bit can express, and its delete-ratio trigger sees true
+    positional counts), then data compaction (it also folds DVs and
+    bucketizes un-indexed files), then DV consolidation for whatever
+    merge-on-read delete files remain, then manifest coalescing, then
+    snapshot expiry. Each step re-reads
     fresh metadata, so a step only sees what the previous steps left
     behind; every step is independently a no-op below its threshold, which
     makes the whole call idempotent — safe on a cron against thousands of
     tables.
     """
     report = AutoMaintenanceReport(triggered=[])
+
+    re_eq = rewrite_equality_deletes(
+        spark,
+        table,
+        min_files=_prop(table, "moonlink.resolve-eq-deletes.min-files", int),
+    )
+    if not re_eq.skipped:
+        report.triggered.append("resolve-eq-deletes")
+        report.resolve_eq_deletes = re_eq
 
     res = compact(
         spark,

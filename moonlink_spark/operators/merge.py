@@ -62,6 +62,12 @@ _BROADCAST_CDC_ROWS = 1_000_000
 # uniform batch almost certainly touches every file anyway.
 _BLOOM_PROBE_MAX_KEYS = 2_000_000
 
+# table property declaring the default MERGE mode ("eager" | "lazy") — the
+# per-table analog of moonlink's table-level config block
+# (mooncake_table_config.rs): hot ingest tables declare "lazy" once and
+# every front-end (sync, REST ingest, streaming) inherits it
+MERGE_MODE_PROP = "moonlink.merge.mode"
+
 
 def _estimate_row_bytes(table: Table, override: int | None) -> int:
     """On-disk bytes/row from manifest stats (same payload distribution as
@@ -94,7 +100,7 @@ def merge_cdc_batch(
     dedup_salt_buckets: int = 16,  # retained for API compat (skew is handled structurally; see salting.latest_wins_dedup)
     avg_row_bytes: int | None = None,  # None: estimated from manifest stats
     checkpoint_root: str | None = None,
-    mode: str = "eager",
+    mode: str | None = None,
 ) -> MergeResult:
     """Apply a CDC batch (schema: op, lsn, <table columns>) at commit ``lsn``.
 
@@ -120,6 +126,13 @@ def merge_cdc_batch(
     table.refresh()
     if table.flush_lsn is not None and table.flush_lsn >= lsn:
         return MergeResult(None, 0, 0, 0, skipped=True)
+    # mode: explicit arg > table's declared default (MERGE_MODE_PROP) >
+    # eager — so ingest front-ends (sync, REST service, streaming) honor a
+    # per-table latency/read-cost choice without threading a parameter
+    if mode is None:
+        mode = table.md.properties.get(MERGE_MODE_PROP, "eager")
+    if mode not in ("eager", "lazy"):
+        raise ValueError(f"unknown merge mode {mode!r} (eager|lazy)")
     keys = normalize_keys(key) if key is not None else table_identity(table)
 
     ckpt = (
@@ -243,8 +256,6 @@ def merge_cdc_batch(
         )
         winners.unpersist()
         return MergeResult(snap, n_upserted, n_keys, 0, metrics=metrics)
-    elif mode != "eager":
-        raise ValueError(f"unknown merge mode {mode!r} (eager|lazy)")
 
     # prune candidate data files — the GlobalIndex probe, three stages
     # (reference: src/moonlink/src/storage/index/persisted_bucket_hash_map.rs:276-307):

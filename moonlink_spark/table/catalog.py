@@ -363,6 +363,29 @@ class Table:
                         ) from e
         raise last  # type: ignore[misc]
 
+    def set_properties(
+        self, updates: dict | None = None, removes: set[str] | None = None,
+        attempts: int = 4,
+    ) -> None:
+        """ALTER TABLE SET/UNSET PROPERTIES — a CAS-retried metadata-only
+        commit (losers refresh and re-apply; property updates are
+        last-writer-wins per key, like Iceberg's updateProperties)."""
+        import dataclasses
+
+        last: CommitConflict | None = None
+        for _ in range(max(1, attempts)):
+            self.refresh()
+            props = dict(self.md.properties)
+            props.update(updates or {})
+            for k in removes or ():
+                props.pop(k, None)
+            try:
+                self.replace_metadata(dataclasses.replace(self.md, properties=props))
+                return
+            except CommitConflict as e:
+                last = e
+        raise last  # type: ignore[misc]
+
     def replace_metadata(self, new_md: TableMetadata) -> None:
         """Direct metadata commit (snapshot expiry / schema evolution path,
         reference: src/moonlink/src/storage/iceberg/moonlink_catalog.rs:37-47)."""

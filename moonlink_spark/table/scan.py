@@ -170,21 +170,16 @@ def scan(
 _DSEQ_COL = "__dseq"
 
 
-def _apply_eq_deletes(
-    spark: SparkSession,
-    table: Table,
-    df: DataFrame,
-    data_entries: list[FileEntry],
-    eq_entries: list[FileEntry],
-) -> DataFrame:
-    """Anti-join the scan against equality-delete keys under the Iceberg v2
-    sequence rule: an eq-delete (seq S) kills a row iff the row's DATA file
-    has sequence_number < S — so a lazy MERGE's own upserts (same commit
-    seq) survive while every older version of the key dies. Zero cost when
-    the snapshot has no eq-delete files (compaction folds them and drops
-    the entries). Both join sides are metadata-scale: the per-data-file seq
-    map and the delete keys broadcast below the usual ceiling."""
+def eq_delete_frame(
+    spark: SparkSession, table: Table, eq_entries: list[FileEntry]
+) -> tuple[DataFrame, list[str]]:
+    """Equality-delete keys as one DataFrame with columns ``__eq_<key>...``
+    and ``__eseq`` (the delete file's sequence number), broadcast below the
+    usual ceiling. Validates that every eq file was written over the
+    table's CURRENT identity (the recorded key list must match) — an
+    identity re-declaration cannot silently mis-apply old delete files."""
     from moonlink_spark.schema import table_identity
+    from moonlink_spark.table.fieldids import strip_field_ids
     from moonlink_spark.table.writer import EQ_KEYS_STAT
 
     keys = table_identity(table)
@@ -196,23 +191,13 @@ def _apply_eq_deletes(
                 f"[{wrote}] but the table now declares {keys}; re-declare "
                 "the identity only after compacting eq-deletes away"
             )
-    # per-row data sequence number via a tiny broadcast (path -> seq)
-    seq_map = F.broadcast(
-        spark.createDataFrame(
-            [(e.path, e.sequence_number) for e in data_entries],
-            f"__dpath string, {_DSEQ_COL} long",
-        )
-    )
-    df = df.join(seq_map, df[FILE_COL] == seq_map["__dpath"], "left").drop("__dpath")
     # eq files grouped by THEIR sequence number (few distinct commits alive
-    # at once — compaction keeps it so); keys deduped per seq group
+    # at once — maintenance keeps it so); engine-written with exact key
+    # names and no field ids, so the name-resolved (id-stripped) read is
+    # the correct one
     by_seq: dict[int, list[FileEntry]] = {}
     for e in eq_entries:
         by_seq.setdefault(e.sequence_number, []).append(e)
-    # eq files are engine-written with exact key names and no field ids —
-    # name resolution (id-stripped schema) is the correct read for them
-    from moonlink_spark.table.fieldids import strip_field_ids
-
     key_schema = strip_field_ids(
         StructType([f for f in table.schema.fields if f.name in keys])
     )
@@ -228,14 +213,50 @@ def _apply_eq_deletes(
     for p in parts[1:]:
         eq = eq.unionByName(p)
     eq = eq.select(*[F.col(k).alias(f"__eq_{k}") for k in keys], "__eseq")
-    n_eq = sum(e.record_count for e in eq_entries)
-    if n_eq <= _BROADCAST_DELETE_ROWS:
+    if sum(e.record_count for e in eq_entries) <= _BROADCAST_DELETE_ROWS:
         eq = F.broadcast(eq)
+    return eq, keys
+
+
+def attach_data_seq(
+    spark: SparkSession, df: DataFrame, data_entries: list[FileEntry]
+) -> DataFrame:
+    """Stamp each scan row with its data file's sequence number via a tiny
+    broadcast (path -> seq) — the per-row input to the sequence rule."""
+    seq_map = F.broadcast(
+        spark.createDataFrame(
+            [(e.path, e.sequence_number) for e in data_entries],
+            f"__dpath string, {_DSEQ_COL} long",
+        )
+    )
+    return df.join(seq_map, df[FILE_COL] == seq_map["__dpath"], "left").drop("__dpath")
+
+
+def eq_match_cond(df: DataFrame, keys: list[str]) -> Column:
+    """The Iceberg v2 equality-delete predicate: key tuple equal AND the
+    delete file is STRICTLY NEWER than the row's data file (a lazy MERGE's
+    own upserts survive; every older version of the key dies)."""
     cond = F.lit(True)
     for k in keys:
         cond = cond & (df[k] == F.col(f"__eq_{k}"))
-    cond = cond & (F.col("__eseq") > F.col(_DSEQ_COL))
-    return df.join(eq, cond, "left_anti").drop(_DSEQ_COL)
+    return cond & (F.col("__eseq") > F.col(_DSEQ_COL))
+
+
+def _apply_eq_deletes(
+    spark: SparkSession,
+    table: Table,
+    df: DataFrame,
+    data_entries: list[FileEntry],
+    eq_entries: list[FileEntry],
+) -> DataFrame:
+    """Anti-join the scan against equality-delete keys under the sequence
+    rule. Zero cost when the snapshot has no eq-delete files (maintenance
+    folds them and drops the entries). Both join sides are metadata-scale:
+    the per-data-file seq map and the delete keys broadcast below the
+    usual ceiling."""
+    eq, keys = eq_delete_frame(spark, table, eq_entries)
+    df = attach_data_seq(spark, df, data_entries)
+    return df.join(eq, eq_match_cond(df, keys), "left_anti").drop(_DSEQ_COL)
 
 
 def scan_at_lsn(spark: SparkSession, table: Table, lsn: int, **kw) -> DataFrame:

@@ -152,6 +152,70 @@ def test_lazy_merge_idempotent_and_lsn_monotone(spark, table):
     assert scan(spark, table).count() == 40
 
 
+def test_rewrite_equality_deletes_materializes_dvs(spark, table):
+    """The deferred key probe (operators/compact.py rewrite_equality_deletes)
+    converts eq keys to positional DVs with NO data rewrite: content
+    unchanged, eq files gone, data files byte-identical."""
+    from moonlink_spark.operators.compact import rewrite_equality_deletes
+
+    gen = CdcScheduleGenerator(seed=14)
+    ref = ReferenceTable()
+    for sizes in [(100, 0, 0), (25, 40, 15), (10, 20, 20)]:
+        b = gen.next_batch(*sizes)
+        ref.apply(b)
+        merge_cdc_batch(spark, table, to_spark(spark, b), gen.commit_lsn, mode="lazy")
+    data_before = sorted(e.path for e in table.data_entries())
+    res = rewrite_equality_deletes(spark, table)
+    assert not res.skipped
+    table.refresh()
+    assert not table.entries(content=EQ_DELETES)
+    assert table.delete_entries()  # keys became positional DVs
+    assert sorted(e.path for e in table.data_entries()) == data_before
+    _check(spark, table, ref)
+    # a later eager merge probes the DV-applied state correctly
+    b = gen.next_batch(10, 15, 5)
+    ref.apply(b)
+    merge_cdc_batch(spark, table, to_spark(spark, b), gen.commit_lsn)
+    _check(spark, table, ref)
+
+
+def test_merge_mode_table_property(spark, tmp_path):
+    """A table declaring moonlink.merge.mode=lazy makes every un-annotated
+    MERGE (sync, service, streaming front-ends) take the lazy path."""
+    from moonlink_spark.operators.merge import MERGE_MODE_PROP
+
+    t = create_table(
+        str(tmp_path / "lzt"),
+        IMAGES_SCHEMA,
+        properties={MERGE_MODE_PROP: "lazy"},
+    )
+    gen = CdcScheduleGenerator(seed=15)
+    ref = ReferenceTable()
+    for sizes in [(60, 0, 0), (10, 20, 10)]:
+        b = gen.next_batch(*sizes)
+        ref.apply(b)
+        res = merge_cdc_batch(spark, t, to_spark(spark, b), gen.commit_lsn)
+        assert res.metrics["mode"] == "lazy"
+    assert t.entries(content=EQ_DELETES)
+    _check(spark, t, ref)
+
+
+def test_auto_optimize_resolves_eq_deletes(spark, table):
+    from moonlink_spark.operators.maintenance import auto_optimize
+
+    gen = CdcScheduleGenerator(seed=16)
+    ref = ReferenceTable()
+    for sizes in [(80, 0, 0), (10, 25, 10)]:
+        b = gen.next_batch(*sizes)
+        ref.apply(b)
+        merge_cdc_batch(spark, table, to_spark(spark, b), gen.commit_lsn, mode="lazy")
+    table.set_properties({"moonlink.resolve-eq-deletes.min-files": "1"})
+    rep = auto_optimize(spark, table)
+    assert "resolve-eq-deletes" in rep.triggered
+    assert not table.refresh().entries(content=EQ_DELETES)
+    _check(spark, table, ref)
+
+
 def test_unknown_mode_rejected(spark, table):
     gen = CdcScheduleGenerator(seed=13)
     b = gen.next_batch(5, 0, 0)
