@@ -765,6 +765,112 @@ def q_engine_lazy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.unionByName(mid).unionByName(post)
 
 
+def q_engine_resume_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: crash-resume + orphan GC behind the oracle (moonlink O25 —
+    WAL replay on recovery, wal.rs:205-220; failure_tests.rs). A third CDC
+    batch's MERGE is killed after its delete/data files are written but
+    BEFORE the metadata CAS: the table stays logically unchanged (files are
+    invisible until commit — the streaming-abort guarantee,
+    transaction_stream.rs:137-143). Re-running with the same checkpoint
+    ADOPTS the already-written files (no recompute) and commits exactly once;
+    a further re-run at the committed LSN is an idempotent no-op (the
+    WAL-truncation rule: events at or below the persisted LSN never replay).
+    A second crashed job that is never resumed leaves true orphans, which
+    remove_orphan_files sweeps without touching live state. Exactly-once is
+    what the oracle hash checks: double-applied deletes/inserts would change
+    row count or values. Final content = closed form of base + b1 + b2 + b3."""
+    import tempfile
+
+    from moonlink_spark.operators.merge import merge_cdc_batch
+    from moonlink_spark.operators.orphans import remove_orphan_files
+    from moonlink_spark.table.catalog import Table
+    from moonlink_spark.table.scan import scan
+
+    k = F.col("o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    t = _lifecycle_table(spark, sf_dir)
+
+    def upd(df, suffix):
+        return (
+            _img_rows(df)
+            .withColumn("caption", F.concat(F.col("caption"), F.lit(suffix)))
+            .select(
+                F.lit("U").alias("op"),
+                F.col("image_id").cast("long").alias("lsn"),
+                "*",
+            )
+        )
+
+    def dele(df):
+        return df.select(
+            F.lit("D").alias("op"),
+            k.cast("long").alias("lsn"),
+            k.cast("string").alias("image_id"),
+            F.lit(None).cast("binary").alias("bytes"),
+            F.lit(None).cast("int").alias("w"),
+            F.lit(None).cast("int").alias("h"),
+            F.lit(None).cast("string").alias("fmt"),
+            F.lit(None).cast("string").alias("caption"),
+            F.lit(None).cast("long").alias("phash"),
+        )
+
+    # b3: upd k%7==3, del k%7==6 (both untouched by b1/b2), ins k%10==9
+    b3 = (
+        upd(orders.filter((k % 10 < 3) & (k % 7 == 3)), " v4")
+        .unionByName(dele(orders.filter((k % 10 < 3) & (k % 7 == 6))))
+        .unionByName(
+            _img_rows(orders.filter((k % 10 == 9) & (k % 3 == 2))).select(
+                F.lit("U").alias("op"),
+                F.col("image_id").cast("long").alias("lsn"),
+                "*",
+            )
+        )
+    )
+
+    real_commit = Table.commit
+
+    def crash(self, *a, **kw):
+        raise RuntimeError("injected crash before metadata commit")
+
+    ck = tempfile.mkdtemp(prefix="moonlink_resume_ck_")
+    Table.commit = crash
+    try:
+        try:
+            merge_cdc_batch(spark, t, b3, lsn=4, checkpoint_root=ck)
+        except RuntimeError:
+            pass
+    finally:
+        Table.commit = real_commit
+    t.refresh()  # crashed job left no snapshot; its files are invisible
+
+    res = merge_cdc_batch(spark, t, b3, lsn=4, checkpoint_root=ck)
+    if res.skipped:
+        raise AssertionError("resume must commit (table LSN below batch LSN)")
+    res2 = merge_cdc_batch(spark, t, b3, lsn=4, checkpoint_root=ck)
+    if not res2.skipped:
+        raise AssertionError("re-run at a committed LSN must be a no-op")
+
+    # a job that crashes and is NEVER resumed leaves genuine orphans
+    Table.commit = crash
+    try:
+        try:
+            merge_cdc_batch(
+                spark,
+                t,
+                upd(orders.filter((k % 10 < 3) & (k % 7 == 0)), " XX"),
+                lsn=5,
+            )
+        except RuntimeError:
+            pass
+    finally:
+        Table.commit = real_commit
+    t.refresh()
+    swept = remove_orphan_files(t, grace_ms=0)
+    if swept.deleted == 0:
+        raise AssertionError("crashed job's files must be swept as orphans")
+    return scan(spark, t).select(*_LIFECYCLE_COLS)
+
+
 def _img_rows(df: DataFrame) -> DataFrame:
     """orders → image-schema rows (same mapping as _lifecycle_table)."""
     k = F.col("o_orderkey")
@@ -1276,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_rollback_scan": q_engine_rollback_scan,
         "engine_wap_scan": q_engine_wap_scan,
         "engine_lazy_scan": q_engine_lazy_scan,
+        "engine_resume_scan": q_engine_resume_scan,
         "engine_stream_scan": q_engine_stream_scan,
         "engine_evolve_scan": q_engine_evolve_scan,
         "engine_typed_scan": q_engine_typed_scan,
@@ -1618,6 +1725,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 5))
                OR (k % 10 = 5 AND k % 3 = 0)
                OR (k % 10 = 7 AND k % 3 = 1)
+        """,
+        # crash -> checkpoint resume -> idempotent re-run -> orphan sweep:
+        # the final state is base + b1 + b2 + the exactly-once-applied b3
+        # (upd k%7==3 ' v4', del k%7==6, ins k%10==9 & k%3==2); a crashed
+        # never-resumed 4th job and the orphan sweep contribute nothing
+        "engine_resume_scan": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
+                        WHEN k % 10 < 3 AND k % 7 = 4 THEN c || ' v3'
+                        WHEN k % 10 < 3 AND k % 7 = 3 THEN c || ' v4'
+                        ELSE c END AS caption,
+                   ph AS phash
+            FROM base
+            WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 5, 6))
+               OR (k % 10 = 5 AND k % 3 = 0)
+               OR (k % 10 = 7 AND k % 3 = 1)
+               OR (k % 10 = 9 AND k % 3 = 2)
         """,
         # replica synced per-commit over the changelog == upstream final state
         "engine_sync_scan": _LIFECYCLE_BASE_SQL + """
