@@ -60,6 +60,11 @@ from moonlink_spark.table.writer import (
 )
 
 BEST_EFFORT = "best_effort"
+
+# removable_delete_files driver fast path: cap on delete-file count and, for
+# v1 (row-per-position) files, on rows pulled through a pyarrow column read
+_DRIVER_DELETE_SCAN_FILES = 128
+_DRIVER_DELETE_SCAN_ROWS = 2_000_000
 FORCE_REGULAR = "force_regular"
 FULL = "full"
 
@@ -263,10 +268,36 @@ def removable_delete_files(
     The all-dangling predicate is computed as an aggregate (min over a
     broadcast-membership flag), so the driver receives one row per DELETE
     FILE — never per referenced data file — even when a delete file touches
-    millions of data files."""
+    millions of data files.
+
+    Fast path: DV2 delete files hold ONE ROW PER REFERENCED DATA FILE
+    (metadata-scale by construction), so for bounded delete-file counts the
+    answer comes from a threaded pyarrow read of just the ``file_path``
+    column — zero Spark jobs on the compaction hot path. Falls back to the
+    distributed aggregate when the set is large or holds big v1
+    (row-per-position) files."""
     dels = table.delete_entries()
     if not dels:
         return set()
+    driver_ok = len(dels) <= _DRIVER_DELETE_SCAN_FILES and all(
+        e.stats.get("format") in ("dv2", "dv2c")
+        or e.record_count <= _DRIVER_DELETE_SCAN_ROWS
+        for e in dels
+    )
+    if driver_ok:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from moonlink_spark.table.stats import _open_footer
+
+        def all_dangling(e: FileEntry) -> bool:
+            pf, _ = _open_footer(e.path)
+            col = pf.read(columns=["file_path"]).column("file_path")
+            refs = set(col.to_pylist())
+            return bool(refs) and refs <= removed_data_paths
+
+        with ThreadPoolExecutor(max_workers=min(16, len(dels))) as ex:
+            flags = list(ex.map(all_dangling, dels))
+        return {e.path for e, f in zip(dels, flags) if f}
     # only file_path is needed (one row per referenced data file in DV v2;
     # one per position in v1) — schema-projected read covers both formats
     ddf = spark.read.schema("file_path string").parquet(*[e.path for e in dels])
