@@ -25,7 +25,14 @@ repeats (never best-of); timed scan regions are k-replicated single jobs so
 per-job overhead cannot masquerade as poor scaling. `--decode-scaling`
 appends the CPU-dense decode-verify leg (the north rule's own correctness
 pass) — the one workload class whose N->4N efficiency this VM's memory
-wall does not bound.
+wall does not bound. `--sm-scaling` appends the GRADED BASELINE.json pair
+(post-maintenance scan GB/s + MERGE rows/s) re-measured with the same
+interleaved nested-median estimator the decode leg established: one shared
+prebuilt maintained table, fresh JVM per leg, legs interleaved
+(N,4N,N,4N,...) across reps with matched no-Spark ceilings probed inside
+each rep, and the gate graded on the MEDIAN pair — the estimator built
+because this VM's minute-scale throughput collapses exceed the effect a
+2-rep full-lifecycle experiment measures.
 
 Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SF_DIR,
 SPARK_GRAFT_SCALE, SPARK_GRAFT_SCALE_REPS, MOONLINK_BENCH_ROWS (default
@@ -147,7 +154,12 @@ def bench_engine(spark, workdir: str) -> dict:
     t = create_table(loc, IMAGES_SCHEMA, properties={BUCKETS_PROP: str(KEY_BUCKETS)})
 
     # initial load (not timed as merge): the flush path writes unbucketed —
-    # maintenance bucketizes later (flush-fast / index-on-compaction split)
+    # maintenance bucketizes later (flush-fast / index-on-compaction split).
+    # Pre-warm the VM's free-page pool first: in the full bench the 35 query
+    # sections run before this and drain it, so an un-prewarmed load measures
+    # the hypervisor's cold-page rate (observed: 7.8s -> 47.7s for the same
+    # load), not the engine write path.
+    _prewarm_io(min(int(BENCH_ROWS * 30_000 * 1.3), 10 << 30))
     t0 = time.perf_counter()
     df = generate_images(spark, BENCH_ROWS, partitions=LAYOUT_PARTITIONS)
     entries = write_data_files(
@@ -915,6 +927,309 @@ def decode_leg() -> None:
         spark.stop()
 
 
+# ---- graded-pair scaling addendum: the BASELINE.json metric pair
+# ---- (post-maintenance scan GB/s + MERGE rows/s), re-measured with the
+# ---- interleaved nested-median estimator the decode leg established.
+
+SM_ROWS = int(os.environ.get("MOONLINK_SM_ROWS", "120000"))
+SM_CDC = int(os.environ.get("MOONLINK_SM_CDC", "180000"))
+SM_SCAN_K = int(os.environ.get("MOONLINK_SM_SCAN_K", "12"))
+SM_MERGE_BATCHES = int(os.environ.get("MOONLINK_SM_BATCHES", "3"))
+
+
+def _run_leg(flag: str, env: dict) -> dict:
+    """Run a bench leg subprocess; surface its stderr tail on failure."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), flag],
+        env=env, capture_output=True, text=True,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"{flag} failed:\n{out.stderr[-4000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def sm_leg() -> None:
+    """One core count's graded-pair measurement — post-maintenance scan GB/s
+    (k-replicated single-job regions, median of SCAN_REPS) and MERGE rows/s
+    (deterministic prebuilt CDC batch specs applied to a zero-copy CLONE of
+    the shared maintained table, so every leg merges into byte-identical
+    state). Prints one JSON line. MOONLINK_SM_BUILD_ONLY=1 builds the shared
+    maintained table + batch specs instead (untimed)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.cdc import CdcScheduleGenerator, spec_to_spark
+    from moonlink_spark.operators.merge import merge_cdc_batch
+    from moonlink_spark.session import get_spark
+    from moonlink_spark.table.scan import scan
+
+    shared = os.environ["MOONLINK_SM_TABLE"]
+    specs_dir = os.environ["MOONLINK_SM_SPECS"]
+    heap = os.environ.get("SPARK_DRIVER_MEM", "12g")
+    spark = get_spark(
+        cores=CPUS,
+        app_name=f"sm-{CPUS}",
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-Xms{heap} -XX:+AlwaysPreTouch"
+        },
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(SCAN_SPLIT_BYTES))
+
+    if os.environ.get("MOONLINK_SM_BUILD_ONLY"):
+        from moonlink_spark.datagen import generate_images
+        from moonlink_spark.operators.maintenance import optimize_table
+        from moonlink_spark.schema import IMAGES_SCHEMA
+        from moonlink_spark.table.catalog import create_table
+        from moonlink_spark.table.writer import BUCKETS_PROP, write_data_files
+
+        t = create_table(
+            os.path.join(shared, "imgs"), IMAGES_SCHEMA,
+            properties={BUCKETS_PROP: str(KEY_BUCKETS)},
+        )
+        df = generate_images(spark, SM_ROWS, partitions=LAYOUT_PARTITIONS)
+        entries = write_data_files(
+            spark, df, t.new_data_dir(),
+            max_records_per_file=LOAD_ROWS_PER_FILE,
+            field_id_schema=t.schema,
+        )
+        t.commit("append", added=entries, lsn=1)
+        gen = CdcScheduleGenerator(seed=42)
+        gen.next_new = SM_ROWS
+        gen.live = {i: 0 for i in range(SM_ROWS)}
+        gen.next_lsn = 2
+        # one broad CDC merge before maintenance so the maintained table is
+        # the shape the graded scan is defined over (DV fold + compaction +
+        # clustering behind it), then full maintenance
+        spec = gen.next_spec(SM_CDC // 4, SM_CDC // 2, SM_CDC // 4)
+        sdf = spec_to_spark(spark, spec, partitions=LAYOUT_PARTITIONS).cache()
+        sdf.count()
+        merge_cdc_batch(spark, t, sdf, gen.commit_lsn)
+        sdf.unpersist()
+        optimize_table(
+            spark, t, mode="full", retain_last=1, target_bytes=COMPACT_TARGET
+        )
+        # deterministic MERGE-leg batch specs: every leg of every rep applies
+        # byte-identical CDC batches to its own clone — only parallelism
+        # varies across legs
+        lsns = []
+        os.makedirs(specs_dir, exist_ok=True)
+        for b in range(SM_MERGE_BATCHES):
+            spec = gen.next_spec(SM_CDC // 4, SM_CDC // 2, SM_CDC // 4)
+            spec.to_parquet(os.path.join(specs_dir, f"batch{b}.parquet"))
+            lsns.append(gen.commit_lsn)
+        with open(os.path.join(specs_dir, "lsns.json"), "w") as f:
+            json.dump(lsns, f)
+        total = sum(e.file_size_bytes for e in t.data_entries())
+        print(json.dumps({"built": t.md.location, "bytes": total}))
+        spark.stop()
+        return
+
+    from moonlink_spark import load_table
+    from moonlink_spark.operators.clone import clone_table
+
+    t = load_table(os.path.join(shared, "imgs"))
+    total_bytes = sum(e.file_size_bytes for e in t.data_entries())
+
+    def region(kk: int) -> None:
+        df = scan(spark, t)
+        for _ in range(kk - 1):
+            df = df.unionAll(scan(spark, t))
+        df.agg(
+            F.sum(F.length("bytes").cast("long")),
+            F.bit_xor(F.xxhash64("image_id")),
+            F.count("*"),
+        ).collect()
+
+    region(min(SM_SCAN_K, 2))  # warmup: page cache + JIT, untimed
+    scan_secs = []
+    for _ in range(SCAN_REPS):
+        t0 = time.perf_counter()
+        region(SM_SCAN_K)
+        scan_secs.append(round((time.perf_counter() - t0) / SM_SCAN_K, 3))
+    scan_sec = statistics.median(scan_secs)
+
+    with open(os.path.join(specs_dir, "lsns.json")) as f:
+        lsns = json.load(f)
+    clone_dir = tempfile.mkdtemp(prefix="moonlink_sm_clone_")
+    merge_secs, merge_rates = [], []
+    try:
+        c = clone_table(t, os.path.join(clone_dir, "clone"))
+        entries = c.data_entries()
+        row_bytes = max(
+            sum(e.file_size_bytes for e in entries)
+            // max(sum(e.record_count for e in entries), 1),
+            1,
+        )
+        for b, lsn in enumerate(lsns):
+            spec = pd.read_parquet(os.path.join(specs_dir, f"batch{b}.parquet"))
+            cdf = spec_to_spark(spark, spec, partitions=LAYOUT_PARTITIONS).cache()
+            n_cdc = cdf.count()  # materialize payloads outside the timed region
+            _prewarm_io(int(len(spec) * 0.75 * row_bytes * 1.3))
+            t0 = time.perf_counter()
+            merge_cdc_batch(spark, c, cdf, lsn)
+            dt = time.perf_counter() - t0
+            merge_secs.append(round(dt, 3))
+            merge_rates.append(n_cdc / dt)
+            cdf.unpersist()
+    finally:
+        shutil.rmtree(clone_dir, ignore_errors=True)
+
+    print(json.dumps({
+        "cpus": CPUS,
+        "table_bytes": total_bytes,
+        "post_scan_secs": scan_secs,
+        "post_scan_sec": scan_sec,
+        "post_scan_gbps": round(total_bytes / scan_sec / 1e9, 4),
+        "merge_secs": merge_secs,
+        "merge_rows_per_sec": round(statistics.median(merge_rates), 1),
+    }))
+    spark.stop()
+
+
+def sm_scaling_report() -> None:
+    """Graded-pair scaling addendum (appends to BENCH/BASELINE.md).
+
+    The round-4 full-lifecycle 2-rep experiment landed on a host session
+    with minute-scale throughput collapses (documented in the anomaly
+    annotation above the rep tables); a 2-rep estimator cannot median those
+    away. This mode re-measures exactly the BASELINE.json graded pair —
+    post-maintenance scan GB/s and MERGE rows/s — with the estimator the
+    decode leg established: ONE shared maintained table built up front,
+    then MOONLINK_SM_REPS interleaved repetitions of (ceilings, N-leg,
+    4N-leg) with fresh JVMs, graded on the MEDIAN pair."""
+    cores = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE", "8,32").split(",")]
+    reps = int(os.environ.get("MOONLINK_SM_REPS", "5"))
+    shared_root = tempfile.mkdtemp(prefix="moonlink_sm_shared_")
+    base_env = dict(
+        os.environ,
+        MOONLINK_SM_TABLE=os.path.join(shared_root, "tbl"),
+        MOONLINK_SM_SPECS=os.path.join(shared_root, "specs"),
+    )
+    built = _run_leg(
+        "--sm-leg",
+        dict(base_env, SPARK_GRAFT_CPUS=str(cores[-1]), MOONLINK_SM_BUILD_ONLY="1"),
+    )
+    runs = []
+    try:
+        for _rep in range(reps):
+            io = io_ceiling_probe(cores)
+            per_core = {}
+            for cpus in cores:
+                per_core[cpus] = _run_leg(
+                    "--sm-leg", dict(base_env, SPARK_GRAFT_CPUS=str(cpus))
+                )
+            runs.append({"io": io, "results": per_core})
+    finally:
+        shutil.rmtree(shared_root, ignore_errors=True)
+
+    pairs = [(a, b) for a in cores for b in cores if b == 4 * a]
+    lines = [
+        "",
+        "## Addendum: the graded pair (post-maintenance scan + MERGE) under",
+        "## the interleaved nested-median estimator",
+        "",
+        "The 2-rep full-lifecycle experiment above ran during a host session",
+        "with minute-scale throughput collapses (see its anomaly annotation);",
+        "its per-rep scan verdicts disagree (rep 1 fails on a documented",
+        "collapse, rep 2 passes). This section re-measures exactly the",
+        "BASELINE.json graded pair with the estimator built for that noise",
+        "(the decode addendum's): ONE shared maintained table",
+        f"({built['bytes'] / 1e9:.2f} GB after load -> broad MERGE -> full",
+        "maintenance, byte-identical for every leg), fresh JVM per leg, legs",
+        "interleaved (8,32,8,32,...) across reps, matched no-Spark read/write",
+        "ceilings probed inside each rep (io_probe, >=12s windows), and the",
+        "gate graded on the MEDIAN pair over reps. MERGE legs apply",
+        f"{SM_MERGE_BATCHES} deterministic prebuilt CDC batch specs",
+        f"({SM_CDC} rows each, payloads synthesized executor-side, cached",
+        "and counted before the timed region) to a zero-copy CLONE of the",
+        "shared table, so every leg merges into byte-identical state and the",
+        "timed region is the engine's probe + DV write + insert flush.",
+        "Scan legs time k-replicated single-job full-table regions",
+        f"(k={SM_SCAN_K}, median of {SCAN_REPS}).",
+        "",
+        "| rep | pair | scan GB/s at N / 4N | scan eff (raw) "
+        "| scan eff (vs read ceiling) | MERGE rows/s at N / 4N "
+        "| MERGE eff (raw) | MERGE eff (vs write ceiling) |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    graded: dict[str, dict] = {}
+    acc: dict[str, dict[str, list[float]]] = {}
+    for ri, run in enumerate(runs):
+        io, res = run["io"], run["results"]
+        for a, b in pairs:
+            key = f"{a}->{b}"
+            scan_raw = round(
+                (res[b]["post_scan_gbps"] / res[a]["post_scan_gbps"]) / 4.0, 3
+            )
+            read_ceil = round(
+                (io[b]["read_gbps"] / io[a]["read_gbps"]) / 4.0, 3
+            )
+            scan_norm = round(scan_raw / max(read_ceil, 1e-9), 3)
+            merge_raw = round(
+                (res[b]["merge_rows_per_sec"] / res[a]["merge_rows_per_sec"]) / 4.0,
+                3,
+            )
+            write_ceil = round(
+                (io[b]["write_gbps"] / io[a]["write_gbps"]) / 4.0, 3
+            )
+            merge_norm = round(merge_raw / max(write_ceil, 1e-9), 3)
+            graded[f"rep{ri + 1}:{key}"] = {
+                "scan_eff": scan_raw,
+                "scan_eff_vs_ceiling": scan_norm,
+                "scan_gbps": [res[a]["post_scan_gbps"], res[b]["post_scan_gbps"]],
+                "merge_eff": merge_raw,
+                "merge_eff_vs_ceiling": merge_norm,
+                "merge_rps": [
+                    res[a]["merge_rows_per_sec"], res[b]["merge_rows_per_sec"]
+                ],
+            }
+            d = acc.setdefault(key, {})
+            for m, v in (
+                ("scan_raw", scan_raw), ("scan_norm", scan_norm),
+                ("merge_raw", merge_raw), ("merge_norm", merge_norm),
+                ("scan_abs_n", res[a]["post_scan_gbps"]),
+                ("scan_abs_4n", res[b]["post_scan_gbps"]),
+                ("merge_abs_n", res[a]["merge_rows_per_sec"]),
+                ("merge_abs_4n", res[b]["merge_rows_per_sec"]),
+            ):
+                d.setdefault(m, []).append(v)
+            lines.append(
+                f"| {ri + 1} | {a} -> {b} "
+                f"| {res[a]['post_scan_gbps']} / {res[b]['post_scan_gbps']} "
+                f"| {scan_raw} | {scan_norm} "
+                f"| {res[a]['merge_rows_per_sec']} / {res[b]['merge_rows_per_sec']} "
+                f"| {merge_raw} | {merge_norm} |"
+            )
+    lines.append("")
+    for key, d in acc.items():
+        med = {m: round(statistics.median(v), 3) for m, v in d.items()}
+        n_scan = sum(v >= 0.8 for v in d["scan_norm"])
+        n_merge = sum(v >= 0.8 for v in d["merge_norm"])
+        graded[f"median:{key}"] = med | {
+            "scan_reps_passing": n_scan, "merge_reps_passing": n_merge,
+            "reps": reps,
+        }
+        verdict_scan = "PASSES" if med["scan_norm"] >= 0.8 else "FAILS"
+        verdict_merge = "PASSES" if med["merge_norm"] >= 0.8 else "FAILS"
+        lines += [
+            f"**Median pair over {reps} interleaved reps ({key}):** "
+            f"post-maintenance scan eff {med['scan_raw']} raw / "
+            f"**{med['scan_norm']} vs the same-rep read ceiling** "
+            f"({n_scan}/{reps} reps >= 0.8 individually; absolute "
+            f"{med['scan_abs_n']} -> {med['scan_abs_4n']} GB/s) — the",
+            f"ceiling-normalized gate {verdict_scan}. MERGE eff "
+            f"{med['merge_raw']} raw / **{med['merge_norm']} vs the same-rep "
+            f"write ceiling** ({n_merge}/{reps} reps >= 0.8; absolute "
+            f"{med['merge_abs_n']} -> {med['merge_abs_4n']} rows/s) — "
+            f"{verdict_merge}.",
+            "",
+        ]
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"sm_scaling": graded}))
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         scaling_report()
@@ -924,6 +1239,12 @@ def main() -> None:
         return
     if "--decode-leg" in sys.argv:
         decode_leg()
+        return
+    if "--sm-scaling" in sys.argv:
+        sm_scaling_report()
+        return
+    if "--sm-leg" in sys.argv:
+        sm_leg()
         return
     engine_only = "--engine-only" in sys.argv
     r = run_once(CPUS, engine_only=engine_only)

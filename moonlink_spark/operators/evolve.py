@@ -23,6 +23,22 @@ Spark-first semantics:
   bulk-ingested parquet), such a file can only resolve by name, so re-adding
   a retired name is refused until compaction rewrites it through the
   stamping writer. Legacy id-less tables keep the retired-name registry.
+- **rename**: metadata-only on id-tables — the field id IS the column's
+  identity, so old files (written under the old name, same id) resolve to
+  the new name with their original values; no data rewrite (Iceberg's
+  rename semantics). Identity/bucket-layout renames update the layout
+  properties in the SAME commit (bucket/bloom hashes are over VALUES, so
+  the physical index stays valid). Refused while any live file is
+  name-resolved (foreign id-less parquet) or any live equality-delete file
+  was written over the old name.
+- **widen**: in-place type promotion (int→long, float→double, int→double,
+  decimal precision growth, date→timestamp_ntz — the promotions Spark 4's
+  vectorized Parquet reader performs natively). Old files keep their
+  narrow physical type and widen at scan; bounds stats stay valid (all
+  allowed promotions are order-preserving). Refused on identity /
+  bucket-layout columns: xxhash64 hashes the 4-byte int and 8-byte long
+  representations differently, so widening a layout key would silently
+  desync every persisted bucket id and bloom.
 """
 
 from __future__ import annotations
@@ -104,6 +120,147 @@ def add_columns(table: Table, new_fields: list[StructField]) -> Snapshot:
         schema=new_schema,
         summary_extra={"added-columns": [f.name for f in new_fields]},
         properties=props or None,
+    )
+
+
+def rename_column(table: Table, old: str, new: str) -> Snapshot:
+    """Rename ``old`` to ``new`` without touching data (id-tables only).
+
+    Scans resolve columns by parquet field id (fieldids.py), so files
+    written under the old name keep serving their values under the new one.
+    When ``old`` is an identity or bucket-layout column, the corresponding
+    table properties are rewritten in the same atomic commit — the
+    persisted bucket ids and key blooms hash column VALUES, not names, so
+    the physical index layout survives the rename intact.
+    """
+    from moonlink_spark.schema import IDENTITY_PROP, table_identity
+    from moonlink_spark.table.fieldids import NO_FIELD_IDS_STAT, has_field_ids
+    from moonlink_spark.table.format import EQ_DELETES
+    from moonlink_spark.table.writer import BUCKET_KEY_PROP, EQ_KEYS_STAT, table_buckets
+
+    table.refresh()
+    schema = table.schema
+    names = {f.name for f in schema.fields}
+    if old not in names:
+        raise ValueError(f"no such column: {old}")
+    if new in names:
+        raise ValueError(f"column already exists: {new}")
+    if not has_field_ids(schema):
+        raise ValueError(
+            "rename requires parquet field ids (legacy id-less table): old "
+            "files resolve by NAME, so a rename would silently read NULL"
+        )
+    if any(e.stats.get(NO_FIELD_IDS_STAT) for e in table.data_entries()):
+        raise ValueError(
+            f"cannot rename {old!r}: live data files without parquet field "
+            "ids remain (name-resolved foreign ingest) — run a full "
+            "compaction first so every file carries field ids"
+        )
+    # live equality-delete files record the identity column NAMES they were
+    # written over (writer.EQ_KEYS_STAT); scan applies them by those names
+    # and fails loudly on mismatch — resolve them to positional DVs first
+    eq_over_old = [
+        e.path
+        for e in table.entries(content=EQ_DELETES)
+        if old in (e.stats.get(EQ_KEYS_STAT) or "").split(",")
+    ]
+    if eq_over_old:
+        raise ValueError(
+            f"cannot rename {old!r}: {len(eq_over_old)} live equality-delete "
+            "file(s) were written over it — run rewrite_equality_deletes "
+            "(or a compaction) first"
+        )
+
+    new_fields = [
+        StructField(new, f.dataType, f.nullable, f.metadata) if f.name == old else f
+        for f in schema.fields
+    ]
+    props: dict[str, str] = {}
+    ident = table_identity(table)
+    if old in ident:
+        props[IDENTITY_PROP] = ",".join(new if c == old else c for c in ident)
+    if table_buckets(table):
+        bkey = table.md.properties.get(BUCKET_KEY_PROP)
+        if bkey:
+            cols = [c.strip() for c in bkey.split(",")]
+            if old in cols:
+                props[BUCKET_KEY_PROP] = ",".join(
+                    new if c == old else c for c in cols
+                )
+    # the old name may not be re-added while name-resolved files could still
+    # carry it (same guard as drop-then-re-add); the new name, if previously
+    # retired, is live again under a different id — no resurrection possible
+    retired = _retired(table)
+    props[RETIRED_PROP] = json.dumps(sorted((retired | {old}) - {new}))
+    return table.commit(
+        "rename-column",
+        schema=StructType(new_fields),
+        summary_extra={"renamed": f"{old}->{new}"},
+        properties=props,
+    )
+
+
+# order-preserving promotions Spark 4's vectorized Parquet reader performs
+# natively when the read schema is wider than the file's physical type
+# (verified empirically in tests/test_evolve_ingest.py)
+_WIDEN_OK: dict[str, set[str]] = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+    "date": {"timestamp_ntz"},
+}
+
+
+def widen_column(table: Table, name: str, new_type) -> Snapshot:
+    """Promote ``name``'s type in place (no data rewrite): old files keep
+    the narrow physical type and the Parquet reader widens at scan.
+
+    Allowed promotions are the order-preserving ones Spark's vectorized
+    reader supports (_WIDEN_OK, plus decimal precision growth at equal
+    scale), so existing per-file min/max bounds stay valid for pruning.
+    """
+    from pyspark.sql.types import DecimalType
+
+    from moonlink_spark.schema import table_identity
+    from moonlink_spark.table.writer import table_bucket_key, table_buckets
+
+    table.refresh()
+    schema = table.schema
+    field = next((f for f in schema.fields if f.name == name), None)
+    if field is None:
+        raise ValueError(f"no such column: {name}")
+    protected = set(table_identity(table))
+    if table_buckets(table):
+        protected |= set(table_bucket_key(table))
+    if name in protected:
+        raise ValueError(
+            f"cannot widen {name!r}: identity/bucket-layout column — "
+            "xxhash64(int) != xxhash64(long) for the same value, so widening "
+            "would desync every persisted bucket id and key bloom "
+            f"(protected: {sorted(protected)})"
+        )
+    old_t, new_t = field.dataType, new_type
+    ok = False
+    if isinstance(old_t, DecimalType) and isinstance(new_t, DecimalType):
+        ok = new_t.scale == old_t.scale and new_t.precision >= old_t.precision
+    else:
+        ok = new_t.typeName() in _WIDEN_OK.get(old_t.typeName(), set())
+    if not ok:
+        raise ValueError(
+            f"unsupported type promotion for {name!r}: "
+            f"{old_t.simpleString()} -> {new_t.simpleString()}"
+        )
+    new_fields = [
+        StructField(f.name, new_t, f.nullable, f.metadata) if f.name == name else f
+        for f in schema.fields
+    ]
+    return table.commit(
+        "widen-column",
+        schema=StructType(new_fields),
+        summary_extra={
+            "widened": f"{name}: {old_t.simpleString()}->{new_t.simpleString()}"
+        },
     )
 
 

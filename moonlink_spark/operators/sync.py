@@ -83,6 +83,28 @@ def _follow_schema(src: Table, dst: Table, keys: list[str]) -> None:
     supports — both are loud errors, not silent evolution: a replica whose
     key is absent was created against a different table entirely.
     """
+    # renames first, detected by field-id equality (the id IS the column's
+    # identity): a renamed upstream column must NOT degrade into drop+add on
+    # the replica — that would null out pre-rename values for rows the
+    # changelog window never touches. Only then diff by name.
+    from moonlink_spark.table.fieldids import field_id
+
+    src_ids = {
+        field_id(f): f.name for f in src.schema.fields if field_id(f) is not None
+    }
+    dst_ids = {
+        field_id(f): f.name for f in dst.schema.fields if field_id(f) is not None
+    }
+    renames = {
+        dst_ids[i]: n for i, n in src_ids.items()
+        if i in dst_ids and dst_ids[i] != n
+    }
+    if renames:
+        from moonlink_spark.operators.evolve import rename_column
+
+        for o, n in renames.items():
+            rename_column(dst, o, n)
+
     src_f = {f.name: f for f in src.schema.fields}
     dst_f = {f.name: f for f in dst.schema.fields}
     missing = [k for k in keys if k not in src_f or k not in dst_f]
@@ -96,9 +118,21 @@ def _follow_schema(src: Table, dst: Table, keys: list[str]) -> None:
         if src_f[n].dataType != dst_f[n].dataType
     ]
     if mismatched:
+        # an upstream widen-column (same id/name, wider type) is mirrored;
+        # anything else stays a loud error — a replica whose types diverge
+        # in a non-promotable way was created against a different table
+        from moonlink_spark.operators.evolve import widen_column
+
+        for n in list(mismatched):
+            try:
+                widen_column(dst, n, src_f[n].dataType)
+                mismatched.remove(n)
+            except ValueError:
+                pass
+    if mismatched:
         raise ValueError(
             f"replica schema mismatch: column types differ for {mismatched} "
-            "(type changes cannot be replicated)"
+            "(only widening promotions can be replicated)"
         )
     from moonlink_spark.operators.evolve import add_columns, drop_columns
 

@@ -156,3 +156,151 @@ def test_add_files_matching_field_ids_stay_id_resolved(spark, table, tmp_path):
     for e in table.data_entries():
         assert not e.stats.get(NO_FIELD_IDS_STAT)
     assert scan(spark, table).filter(F.col("caption").isNull()).count() == 0
+
+
+# ---- rename-column (metadata-only, field-id resolution) ----
+
+
+def test_rename_column_keeps_old_values(spark, table):
+    gen = _load(spark, table, 40)
+    from moonlink_spark.operators.evolve import rename_column
+
+    rename_column(table, "caption", "title")
+    df = scan(spark, table)
+    assert "title" in df.columns and "caption" not in df.columns
+    # values written under the old name resolve by field id
+    assert df.filter(F.col("title").isNotNull()).count() == 40
+    # writes after the rename land under the new name and merge cleanly
+    b = gen.next_batch(5, 5, 0)
+    b = b.rename(columns={"caption": "title"})
+    merge_cdc_batch(spark, table, to_spark_renamed(spark, table, b), gen.commit_lsn)
+    df = scan(spark, table)
+    assert df.count() == 45
+    assert df.filter(F.col("title").isNull()).count() == 0
+
+
+def to_spark_renamed(spark, table, pdf):
+    from pyspark.sql.types import StructType
+
+    cdc_schema = StructType(
+        [StructField("op", StringType(), False), StructField("lsn", LongType(), False)]
+        + table.schema.fields
+    )
+    return spark.createDataFrame(pdf[[f.name for f in cdc_schema.fields]], cdc_schema)
+
+
+def test_rename_identity_column_updates_layout_props(spark, tmp_path):
+    from moonlink_spark.operators.evolve import rename_column
+    from moonlink_spark.operators.maintenance import optimize_table
+    from moonlink_spark.schema import table_identity
+    from moonlink_spark.table.writer import BUCKETS_PROP, table_bucket_key
+
+    t = create_table(str(tmp_path / "b"), IMAGES_SCHEMA, properties={BUCKETS_PROP: "4"})
+    gen = _load(spark, t, 60)
+    optimize_table(spark, t, mode="full")  # bucketize + blooms over image_id
+    rename_column(t, "image_id", "img_key")
+    assert table_identity(t) == ["img_key"]
+    assert table_bucket_key(t) == ["img_key"]
+    # MERGE on the renamed key still prunes through the bucketed layout
+    b = gen.next_batch(0, 10, 5)
+    b = b.rename(columns={"image_id": "img_key"})
+    res = merge_cdc_batch(spark, t, to_spark_renamed(spark, t, b), gen.commit_lsn)
+    assert res.metrics["matched"] == 15  # 10 updates + 5 deletes hit live rows
+    df = scan(spark, t)
+    assert df.count() == 55
+    assert df.filter(F.col("img_key").isNull()).count() == 0
+
+
+def test_rename_guards(spark, table, tmp_path):
+    from moonlink_spark.operators.evolve import rename_column
+
+    _load(spark, table, 10)
+    with pytest.raises(ValueError, match="no such column"):
+        rename_column(table, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(table, "caption", "w")
+    # name-resolved foreign files block renames
+    ext = str(tmp_path / "ext")
+    generate_images(spark, 5, partitions=1).write.parquet(ext)
+    paths = [os.path.join(ext, p) for p in os.listdir(ext) if p.endswith(".parquet")]
+    add_files(spark, table, paths, lsn=99)
+    with pytest.raises(ValueError, match="without parquet field ids"):
+        rename_column(table, "caption", "title")
+
+
+def test_rename_blocked_by_live_eq_deletes(spark, tmp_path):
+    from moonlink_spark.operators.compact import rewrite_equality_deletes
+    from moonlink_spark.operators.evolve import rename_column
+
+    t = create_table(str(tmp_path / "e"), IMAGES_SCHEMA)
+    gen = _load(spark, t, 30)
+    b = gen.next_batch(0, 0, 5)
+    merge_cdc_batch(spark, t, to_spark(spark, b), gen.commit_lsn, mode="lazy")
+    with pytest.raises(ValueError, match="equality-delete"):
+        rename_column(t, "image_id", "img_key")
+    rewrite_equality_deletes(spark, t)
+    rename_column(t, "image_id", "img_key")
+    assert scan(spark, t).count() == 25
+
+
+# ---- widen-column (in-place type promotion) ----
+
+
+def test_widen_column_promotes_old_files(spark, tmp_path):
+    from pyspark.sql.types import IntegerType
+
+    from moonlink_spark.operators.evolve import widen_column
+
+    t = create_table(str(tmp_path / "w"), IMAGES_SCHEMA)
+    gen = _load(spark, t, 20)
+    assert isinstance(t.schema["w"].dataType, IntegerType)
+    widen_column(t, "w", LongType())
+    df = scan(spark, t)
+    assert dict(df.dtypes)["w"] == "bigint"
+    assert df.filter(F.col("w").isNull()).count() == 0
+    total_before = df.agg(F.sum("w")).collect()[0][0]
+    # merges after the widen write the wide type; old+new files co-scan
+    b = gen.next_batch(10, 0, 0)
+    b["w"] = b["w"].astype("int64")
+    merge_cdc_batch(spark, t, to_spark_renamed(spark, t, b), gen.commit_lsn)
+    df = scan(spark, t)
+    assert df.count() == 30 and dict(df.dtypes)["w"] == "bigint"
+    assert df.agg(F.sum("w")).collect()[0][0] > total_before
+
+
+def test_widen_guards(spark, table):
+    from pyspark.sql.types import IntegerType
+
+    from moonlink_spark.operators.evolve import widen_column
+
+    _load(spark, table, 10)
+    with pytest.raises(ValueError, match="identity/bucket-layout"):
+        widen_column(table, "image_id", LongType())
+    with pytest.raises(ValueError, match="unsupported type promotion"):
+        widen_column(table, "w", IntegerType())  # same type
+    with pytest.raises(ValueError, match="unsupported type promotion"):
+        widen_column(table, "h", StringType())  # narrowing/sideways
+
+
+def test_replica_follows_rename_and_widen(spark, tmp_path):
+    from moonlink_spark.operators.evolve import rename_column, widen_column
+    from moonlink_spark.operators.sync import sync_table
+
+    src = create_table(str(tmp_path / "src"), IMAGES_SCHEMA)
+    dst = create_table(str(tmp_path / "dst"), IMAGES_SCHEMA)
+    gen = _load(spark, src, 25)
+    sync_table(spark, src, dst)
+    assert scan(spark, dst).count() == 25
+    rename_column(src, "caption", "title")
+    widen_column(src, "h", LongType())
+    b = gen.next_batch(5, 5, 0)
+    b = b.rename(columns={"caption": "title"})
+    b["h"] = b["h"].astype("int64")
+    merge_cdc_batch(spark, src, to_spark_renamed(spark, src, b), gen.commit_lsn)
+    sync_table(spark, src, dst)
+    ddf = scan(spark, dst)
+    assert "title" in ddf.columns and dict(ddf.dtypes)["h"] == "bigint"
+    # pre-rename rows kept their values under the new name (NOT nulled by a
+    # drop+add degradation)
+    assert ddf.filter(F.col("title").isNull()).count() == 0
+    assert ddf.count() == 30
