@@ -30,7 +30,11 @@ from pyspark.sql.functions import pandas_udf
 
 from moonlink_spark.checkpoint import JobCheckpoint
 from moonlink_spark.functions.codes import sfc_code, zorder_expr
-from moonlink_spark.operators.compact import _delete_counts, removable_delete_files
+from moonlink_spark.operators.compact import (
+    _delete_counts,
+    removable_delete_files,
+    removable_eq_delete_files,
+)
 from moonlink_spark.table.catalog import Table
 from moonlink_spark.table.format import FileEntry, Snapshot
 from moonlink_spark.table.scan import scan
@@ -125,7 +129,24 @@ def cluster(
     else:
         new_entries = rewrite()
 
+    # clustering orders by the SFC code, not the key hash, so outputs carry
+    # no bucket id — but the per-file KEY BLOOMS are order-independent:
+    # attaching them here (one column-pruned job per commit, same discipline
+    # as compaction's batched build) keeps narrow MERGE batches pruning per
+    # key on a freshly clustered table instead of probing every file until
+    # the next compaction re-bucketizes (moonlink likewise rebuilds its file
+    # index on every rewrite, compactor.rs:331-365)
+    from moonlink_spark.table.writer import table_bucket_key, table_buckets
+
+    if table_buckets(table):
+        from moonlink_spark.table.bloom import attach_key_blooms
+
+        attach_key_blooms(spark, new_entries, table_bucket_key(table))
+
     removable = removable_delete_files(spark, table, sel_paths)
+    # the rewrite scanned with eq-deletes applied and replaces EVERY data
+    # file, so eq files whose targets are all rewritten are dangling too
+    removable |= removable_eq_delete_files(spark, table, sel_paths)
     metrics = {
         "strategy": strategy,
         "cols": list(cols),

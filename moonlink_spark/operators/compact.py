@@ -687,6 +687,11 @@ def compact(
     removable_deletes = removable_delete_files(spark, table, sel_paths)
     removable_deletes |= removable_eq_delete_files(spark, table, sel_paths)
 
+    # per-task skew signal (north rule: lineage + metrics per task): how
+    # unevenly the planned bins pack — max live-bytes bin over the mean
+    bin_bytes = [
+        sum(_live_bytes(e, del_counts) for e in b) for b in bins
+    ] or [0]
     metrics = {
         "mode": mode,
         "in_files": len(selected),
@@ -696,6 +701,11 @@ def compact(
         "removed_delete_files": len(removable_deletes),
         "bins": len(bins),
         "bin_jobs": 1 if batched else len(bins),
+        "bin_skew_ratio": (
+            round(max(bin_bytes) * len(bin_bytes) / sum(bin_bytes), 3)
+            if sum(bin_bytes)
+            else None
+        ),
     }
     # retry rebases over concurrent appends; anything that touched the
     # selected files (another compaction) or added DVs that would dangle

@@ -154,11 +154,6 @@ def merge_cdc_batch(
     #    files that DO contain batch keys.
     buckets = table_buckets(table)
     use_layout = bool(buckets) and table_bucket_key(table) == keys
-    bucket_agg = (
-        [F.collect_set(bucket_expr(keys, buckets)).alias("bks")]
-        if use_layout
-        else []
-    )
     # min/max bounds only for orderable atomic columns (binary/complex
     # identity columns — FullRow tables — carry no stats bounds)
     boundable = [
@@ -171,29 +166,56 @@ def merge_cdc_batch(
     null_key = F.lit(False)
     for k in keys:
         null_key = null_key | F.col(k).isNull()
-    agg = winners.agg(
+    aggs = [
         F.count("*").alias("n"),
         F.sum((F.col(ORD_COL)["op"] == "U").cast("long")).alias("n_up"),
         F.sum(null_key.cast("long")).alias("n_null_key"),
         *[F.min(k).alias(f"__lo_{k}") for k in boundable],
         *[F.max(k).alias(f"__hi_{k}") for k in boundable],
-        *bucket_agg,
-    ).collect()[0]
-    n_cdc = agg["n"]
+    ]
+    skew_ratio = None
+    if use_layout:
+        # the SAME single job, grouped by key bucket: yields the batch's
+        # bucket set, per-bucket row counts — the phash-hot-key skew signal
+        # the checkpoint metrics record — and global bounds folded from
+        # <= bucket-count tiny rows driver-side
+        per_b = (
+            winners.groupBy(bucket_expr(keys, buckets).alias("__bk"))
+            .agg(*aggs)
+            .collect()
+        )
+        n_cdc = sum(r["n"] for r in per_b)
+        n_up = sum(r["n_up"] for r in per_b)
+        n_null_key = sum(r["n_null_key"] for r in per_b)
+        batch_buckets: set[int] | None = {r["__bk"] for r in per_b}
+
+        def _fold(col: str, fn):
+            vals = [r[col] for r in per_b if r[col] is not None]
+            return fn(vals) if vals else None
+
+        bounds = [(k, _fold(f"__lo_{k}", min), _fold(f"__hi_{k}", max)) for k in boundable]
+        if n_cdc:
+            skew_ratio = round(
+                max(r["n"] for r in per_b) * len(per_b) / n_cdc, 3
+            )
+    else:
+        agg = winners.agg(*aggs).collect()[0]
+        n_cdc, n_up, n_null_key = agg["n"], agg["n_up"], agg["n_null_key"]
+        batch_buckets = None
+        bounds = [(k, agg[f"__lo_{k}"], agg[f"__hi_{k}"]) for k in boundable]
     # A NULL identity column has no identity to upsert/delete against
     # (moonlink validates identity at table creation,
     # mooncake_table.rs:126-136). The inline semi join below would silently
     # drop such rows — fail loudly instead so the producer fixes the batch.
-    if agg["n_null_key"]:
+    if n_null_key:
         raise ValueError(
-            f"CDC batch has {agg['n_null_key']} rows with a NULL identity "
+            f"CDC batch has {n_null_key} rows with a NULL identity "
             f"column (keys={keys}); MERGE requires non-null identity"
         )
-    bounds = [(k, agg[f"__lo_{k}"], agg[f"__hi_{k}"]) for k in boundable]
     deduped = staged.join(winners, [*keys, ORD_COL], "left_semi").drop(ORD_COL)
 
     def _write_upserts() -> list[FileEntry]:
-        if agg["n_up"] == 0:
+        if n_up == 0:
             return []
         ups = deduped.filter(F.col("op") == "U").select(
             *[f.name for f in table.schema.fields]
@@ -241,6 +263,7 @@ def merge_cdc_batch(
             "eq_delete_keys": n_keys,
             "upserted": n_upserted,
             "data_files": len(ins_entries),
+            "batch_skew_ratio": skew_ratio,
             "write_sec": round(time.perf_counter() - t0, 3),
         }
         # no referenced_data_paths: a lazy merge depends on NO existing file,
@@ -267,7 +290,6 @@ def merge_cdc_batch(
     # that scale (table/planning.py — driver holds O(survivors), never
     # O(table)); small/JSON-manifest tables prune driver-side. Identical
     # semantics either way.
-    batch_buckets = set(agg["bks"]) if use_layout else None
     total_files = None
     candidates: list[FileEntry] = []
     if n_cdc > 0:
@@ -360,6 +382,7 @@ def merge_cdc_batch(
         "pruned_candidates": len(candidates),
         "bloom_pruned_from": pre_bloom,
         "total_data_files": total_files,
+        "batch_skew_ratio": skew_ratio,
         "probe_delete_sec": round(t1 - t0, 3),
         "insert_write_sec": round(t2 - t1, 3),
     }

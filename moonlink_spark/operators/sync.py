@@ -102,8 +102,30 @@ def _follow_schema(src: Table, dst: Table, keys: list[str]) -> None:
     if renames:
         from moonlink_spark.operators.evolve import rename_column
 
-        for o, n in renames.items():
-            rename_column(dst, o, n)
+        # a rename SET can chain or swap (a->b while b->a): apply the ones
+        # whose target name is free first; a pure cycle is broken through a
+        # temp name (two metadata-only commits — still no data rewrite)
+        names_now = {f.name for f in dst.schema.fields}
+        pending = dict(renames)
+        while pending:
+            ready = [
+                (o, n) for o, n in pending.items()
+                if n not in names_now or n == o
+            ]
+            if ready:
+                for o, n in ready:
+                    rename_column(dst, o, n)
+                    names_now.discard(o)
+                    names_now.add(n)
+                    del pending[o]
+                continue
+            o, n = next(iter(pending.items()))
+            tmp = f"__sync_tmp_{o}"
+            rename_column(dst, o, tmp)
+            names_now.discard(o)
+            names_now.add(tmp)
+            del pending[o]
+            pending[tmp] = n
 
     src_f = {f.name: f for f in src.schema.fields}
     dst_f = {f.name: f for f in dst.schema.fields}

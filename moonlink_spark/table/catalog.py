@@ -369,12 +369,38 @@ class Table:
     ) -> None:
         """ALTER TABLE SET/UNSET PROPERTIES — a CAS-retried metadata-only
         commit (losers refresh and re-apply; property updates are
-        last-writer-wins per key, like Iceberg's updateProperties)."""
+        last-writer-wins per key, like Iceberg's updateProperties).
+
+        Layout-critical properties (bucket count/key, identity) may not
+        drift under live data: persisted bucket ids and key blooms hash
+        VALUES with the count and key set fixed at write time, so a bare
+        property flip would silently desync the MERGE probe from the files
+        (moonlink likewise fixes num_buckets inside each persisted index
+        file, persisted_bucket_hash_map.rs:73-93). The rewrite operators —
+        operators.rebucket.rebucket_table, operators.evolve.rename_column —
+        change them atomically WITH the rewrite/commit instead."""
         import dataclasses
 
+        _LAYOUT_PROPS = (
+            "write.buckets", "write.bucket-key", "moonlink.identity-keys",
+        )
         last: CommitConflict | None = None
         for _ in range(max(1, attempts)):
             self.refresh()
+            cur = self.md.properties
+            touched = [
+                p
+                for p in _LAYOUT_PROPS
+                if (updates and p in updates and updates[p] != cur.get(p))
+                or (removes and p in removes and p in cur)
+            ]
+            if touched and self.data_entries():
+                raise ValueError(
+                    f"refusing to change layout propert(ies) {touched} on a "
+                    "table with live data files: persisted bucket ids/blooms/"
+                    "identity would silently desync — use rebucket_table / "
+                    "rename_column (or recreate the table)"
+                )
             props = dict(self.md.properties)
             props.update(updates or {})
             for k in removes or ():

@@ -97,6 +97,14 @@ def scan(
         eq_delete_entries = table.entries(snapshot_id, EQ_DELETES)
 
     out_cols = columns or [f.name for f in schema.fields]
+    # eq-delete application joins on the identity key columns — a projection
+    # that excludes them still needs them READ (then dropped post-join), or
+    # the anti-join condition would reference missing columns
+    eq_extra: list[str] = []
+    if eq_delete_entries:
+        from moonlink_spark.schema import table_identity
+
+        eq_extra = [k for k in table_identity(table) if k not in out_cols]
 
     if not entries:
         empty_schema = StructType(
@@ -111,6 +119,7 @@ def scan(
             .parquet(*[e.path for e in ents])
             .select(
                 *out_cols,
+                *eq_extra,
                 _norm_path(F.col("_metadata.file_path")).alias(FILE_COL),
                 F.col("_metadata.row_index").alias(POS_COL),
             )
@@ -161,6 +170,8 @@ def scan(
 
     if eq_delete_entries:
         df = _apply_eq_deletes(spark, table, df, entries, eq_delete_entries)
+    if eq_extra:
+        df = df.drop(*eq_extra)
 
     if not with_pos:
         df = df.drop(FILE_COL, POS_COL)

@@ -130,9 +130,7 @@ def test_lazy_changelog_replays_events(spark, table, tmp_path):
         merge_cdc_batch(spark, table, to_spark(spark, b), gen.commit_lsn, mode="lazy")
     ch = scan_changes(spark, table, 0, gen.commit_lsn).toPandas()
     state = {}
-    for _, r in ch.sort_values(["_change_lsn", "_change_type"]).iterrows():
-        # within one LSN, deletes apply before inserts (upsert decomposition)
-        pass
+    # within one LSN, deletes apply before inserts (upsert decomposition)
     for lsn in sorted(ch["_change_lsn"].unique()):
         w = ch[ch["_change_lsn"] == lsn]
         for _, r in w[w["_change_type"] == "delete"].iterrows():
@@ -214,6 +212,26 @@ def test_auto_optimize_resolves_eq_deletes(spark, table):
     assert "resolve-eq-deletes" in rep.triggered
     assert not table.refresh().entries(content=EQ_DELETES)
     _check(spark, table, ref)
+
+
+def test_narrow_projection_with_live_eq_deletes(spark, table):
+    """A scan whose projection EXCLUDES the identity key must still apply
+    live equality deletes (the keys are read internally for the anti-join,
+    then dropped) — regression: the join condition used to reference a
+    column the narrow read never selected."""
+    gen = CdcScheduleGenerator(seed=17)
+    ref = ReferenceTable()
+    for sizes in [(60, 0, 0), (10, 20, 15)]:
+        b = gen.next_batch(*sizes)
+        ref.apply(b)
+        merge_cdc_batch(spark, table, to_spark(spark, b), gen.commit_lsn, mode="lazy")
+    assert table.entries(content=EQ_DELETES)
+    got = sorted(
+        r["caption"] for r in scan(spark, table, columns=["caption"]).collect()
+    )
+    assert got == sorted(ref.to_pandas()["caption"])
+    # projection shape untouched: only the asked-for column comes back
+    assert scan(spark, table, columns=["caption"]).columns == ["caption"]
 
 
 def test_unknown_mode_rejected(spark, table):

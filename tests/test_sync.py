@@ -180,3 +180,32 @@ def test_sync_follows_schema_evolution(spark, pair):
     _assert_in_step(spark, src, dst)
     got = scan(spark, dst, columns=["image_id", "views"]).toPandas()
     assert (got["views"].dropna() == 7).all() and got["views"].notna().sum() == 10
+
+
+def test_sync_follows_swap_rename(spark, pair):
+    """An upstream rename CYCLE (w <-> h between syncs) is mirrored through a
+    temp name — field-id equality detects both sides, and no drop+add ever
+    nulls untouched rows."""
+    from moonlink_spark.operators.evolve import rename_column
+
+    src, dst, gen = pair
+    merge_cdc_batch(
+        spark, src, to_spark(spark, gen.next_batch(30, 0, 0)), gen.commit_lsn
+    )
+    sync_table(spark, src, dst)
+
+    rename_column(src, "w", "__swap_tmp")
+    rename_column(src, "h", "w")
+    rename_column(src, "__swap_tmp", "h")
+    b = gen.next_batch(0, 5, 0)
+    merge_cdc_batch(spark, src, to_spark(spark, b), gen.commit_lsn)
+    res = sync_table(spark, src, dst)
+    assert not res.skipped
+    # values of the swapped columns match upstream row-for-row (ids followed)
+    s = scan(spark, src.refresh(), columns=["image_id", "w", "h"]).toPandas()
+    d = scan(spark, dst.refresh(), columns=["image_id", "w", "h"]).toPandas()
+    pd.testing.assert_frame_equal(
+        s.sort_values("image_id").reset_index(drop=True),
+        d.sort_values("image_id").reset_index(drop=True),
+        check_dtype=False,
+    )
