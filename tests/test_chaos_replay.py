@@ -145,3 +145,60 @@ def test_replay_same_seed_is_identical(spark, tmp_path):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_chaos_schedule_round4_ops(spark, tmp_path):
+    """Round-4 action mix on a BUCKETED table: random eager/LAZY merges
+    interleaved with eq-delete resolution, DV consolidation, bucket-count
+    rescale, clustering and threshold-driven auto maintenance — logical
+    content must equal the reference model after every step, and layout
+    changes must never affect a subsequent MERGE's matches."""
+    from moonlink_spark.operators.compact import (
+        rewrite_equality_deletes,
+        rewrite_position_deletes,
+    )
+    from moonlink_spark.operators.maintenance import auto_optimize
+    from moonlink_spark.operators.rebucket import rebucket_table
+    from moonlink_spark.table.writer import BUCKETS_PROP
+
+    rng = np.random.default_rng(SEED + 4)
+    gen = CdcScheduleGenerator(seed=SEED + 4)
+    ref = ReferenceTable()
+    table = create_table(
+        str(tmp_path / "t4"), IMAGES_SCHEMA, properties={BUCKETS_PROP: "4"}
+    )
+
+    buckets_seq = [8, 4, 16]
+    for step in range(7):
+        sizes = (
+            int(rng.integers(10, 50)),
+            int(rng.integers(0, 35)),
+            int(rng.integers(0, 20)),
+        )
+        b = gen.next_batch(*sizes)
+        ref.apply(b)
+        mode = "lazy" if rng.integers(0, 2) else "eager"
+        res = merge_cdc_batch(
+            spark, table, to_spark(spark, b), gen.commit_lsn, mode=mode
+        )
+        assert res.snapshot is not None
+        _assert_matches(_content(spark, table), ref)
+
+        op = rng.integers(0, 6)
+        if op == 1:
+            rewrite_equality_deletes(spark, table, min_files=1)
+        elif op == 2:
+            rewrite_position_deletes(spark, table, min_files=1)
+        elif op == 3:
+            rebucket_table(spark, table, buckets_seq[step % len(buckets_seq)])
+        elif op == 4:
+            cluster(spark, table, strategy="zorder")
+        elif op == 5:
+            table.set_properties({"moonlink.compaction.min-files": "2"})
+            auto_optimize(spark, table)
+        if op != 0:
+            _assert_matches(_content(spark, table), ref)
+
+    # final full maintenance folds everything; content still equals the model
+    compact(spark, table, mode=FULL)
+    _assert_matches(_content(spark, table), ref)
