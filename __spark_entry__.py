@@ -1352,6 +1352,101 @@ def q_engine_rest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.shutdown()
 
 
+def q_engine_pg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: PostgreSQL logical replication (moonlink O28,
+    pg_replicate/moonlink_sink.rs:188-392) — a synthesized pgoutput v2 wire
+    session (proto + slot options per clients/postgres.rs:740,845) decoded
+    byte-for-byte and applied through ReplicationSink:
+      txn 1 (plain) : update k%7==2 (caption+' pg2'), delete k%7==5,
+                      insert k%10==5 & k%3==0 (caption 'pg')  → one snapshot
+      xid 900 stream: update k%7==3 (caption+' pg3'), COMMIT   → one snapshot
+      xid 901 stream: delete k%7==1, ABORT                     → invisible
+    bytes ride the hex-encoded bytea wire form; bytes_ok proves the binary
+    round-trip (bytes always mirror the row's caption)."""
+    import tempfile
+
+    from moonlink_spark import pgoutput as pgo
+    from moonlink_spark.pg_replication import ReplicationSink
+    from moonlink_spark.schema import IMAGES_SCHEMA
+    from moonlink_spark.table.catalog import create_table
+    from moonlink_spark.table.scan import scan
+    from moonlink_spark.table.writer import write_data_files
+
+    k = F.col("o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    wd = tempfile.mkdtemp(prefix="moonlink_pg_")
+    t = create_table(f"{wd}/tbl", IMAGES_SCHEMA)
+    entries = write_data_files(
+        spark, _img_rows(orders.filter(k % 10 < 3)), t.new_data_dir(),
+        field_id_schema=t.schema,
+    )
+    t.commit("append", added=entries, lsn=1)
+
+    rel = pgo.Relation(
+        relation_id=77, namespace="public", relation_name="images",
+        replica_identity="d",
+        columns=[
+            pgo.RelationColumn(1, "image_id", pgo.TEXT, -1),
+            pgo.RelationColumn(0, "bytes", pgo.BYTEA, -1),
+            pgo.RelationColumn(0, "w", pgo.INT4, -1),
+            pgo.RelationColumn(0, "h", pgo.INT4, -1),
+            pgo.RelationColumn(0, "fmt", pgo.VARCHAR, -1),
+            pgo.RelationColumn(0, "caption", pgo.TEXT, -1),
+            pgo.RelationColumn(0, "phash", pgo.INT8, -1),
+        ],
+    )
+
+    def payload(r, caption):
+        return {
+            "image_id": r["image_id"], "bytes": caption.encode(),
+            "w": r["w"], "h": r["h"], "fmt": r["fmt"],
+            "caption": caption, "phash": r["phash"],
+        }
+
+    enc = pgo.PgOutputEncoder()
+    base = orders.filter(k % 10 < 3)
+    frames = [enc.xlogdata(enc.begin(1000, xid=11)), enc.xlogdata(enc.relation(rel))]
+    for r in _img_rows(base.filter(k % 7 == 2)).collect():
+        frames.append(enc.xlogdata(enc.update(
+            rel, payload(r, r["caption"] + " pg2"), key={"image_id": r["image_id"]}
+        )))
+    for r in base.filter(k % 7 == 5).select(
+        k.cast("string").alias("image_id")
+    ).collect():
+        frames.append(enc.xlogdata(enc.delete(rel, key={"image_id": r["image_id"]})))
+    for r in _img_rows(orders.filter((k % 10 == 5) & (k % 3 == 0))).collect():
+        frames.append(enc.xlogdata(enc.insert(rel, payload(r, "pg"))))
+    frames.append(enc.xlogdata(enc.commit(1000, 1000)))
+
+    frames.append(enc.xlogdata(enc.stream_start(900, first=True)))
+    for r in _img_rows(base.filter(k % 7 == 3)).collect():
+        frames.append(enc.xlogdata(enc.update(
+            rel, payload(r, r["caption"] + " pg3"), key={"image_id": r["image_id"]}
+        )))
+    frames.append(enc.xlogdata(enc.stream_stop()))
+    frames.append(enc.xlogdata(enc.stream_start(901, first=True)))
+    for r in base.filter(k % 7 == 1).select(
+        k.cast("string").alias("image_id")
+    ).collect():
+        frames.append(enc.xlogdata(enc.delete(rel, key={"image_id": r["image_id"]})))
+    frames.append(enc.xlogdata(enc.stream_stop()))
+    frames.append(enc.xlogdata(enc.stream_commit(900, 2000, 2000)))
+    frames.append(enc.xlogdata(enc.stream_abort(901)))
+    frames.append(enc.keepalive(wal_end=2000))
+
+    sink = ReplicationSink(spark, {"public.images": t})
+    results = sink.apply_frames(frames)
+    assert len(results) == 2 and all(not r.skipped for r in results)
+    assert sink.applied_lsn == 2000
+
+    return scan(spark, t).select(
+        "image_id",
+        "caption",
+        "phash",
+        (F.col("bytes") == F.col("caption").cast("binary")).alias("bytes_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -1389,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_composite_scan": q_engine_composite_scan,
         "engine_ingest_api": q_engine_ingest_api,
         "engine_rest_scan": q_engine_rest_scan,
+        "engine_pg_cdc": q_engine_pg_cdc,
     }
 
 
@@ -1903,6 +1999,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(k AS VARCHAR), 'ing', ph, TRUE
             FROM base WHERE k % 10 = 4 AND k % 3 = 0
+        """,
+        "engine_pg_cdc": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CASE WHEN k % 7 = 2 THEN c || ' pg2'
+                        WHEN k % 7 = 3 THEN c || ' pg3'
+                        ELSE c END AS caption,
+                   ph AS phash,
+                   TRUE AS bytes_ok
+            FROM base WHERE k % 10 < 3 AND k % 7 <> 5
+            UNION ALL
+            SELECT CAST(k AS VARCHAR), 'pg', ph, TRUE
+            FROM base WHERE k % 10 = 5 AND k % 3 = 0
         """,
         "engine_rest_scan": _LIFECYCLE_BASE_SQL + """
             SELECT CAST(k AS VARCHAR) AS image_id,

@@ -73,6 +73,19 @@ class StreamingTransaction:
         self._open = True
         self.appended = 0
 
+    def _cdc_schema(self):
+        """op + lsn + the TABLE's columns — transactions work on any table
+        schema (typed envelope, composite identity), not just images."""
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        return StructType(
+            [
+                StructField("op", StringType(), False),
+                StructField("lsn", LongType(), False),
+            ]
+            + [StructField(f.name, f.dataType, True) for f in self.table.schema.fields]
+        )
+
     def append(self, cdc_df: DataFrame) -> None:
         """Stage a chunk of CDC rows (schema: op, lsn, <table columns>)."""
         if not self._open:
@@ -89,7 +102,7 @@ class StreamingTransaction:
         — either way the staged files are never leaked."""
         if not self._open:
             raise RuntimeError("transaction already committed or aborted")
-        staged = self.spark.read.schema(CDC_SCHEMA).parquet(self._stage_dir)
+        staged = self.spark.read.schema(self._cdc_schema()).parquet(self._stage_dir)
         res = merge_cdc_batch(
             self.spark, self.table, staged, lsn, key=self.key, **merge_kwargs
         )
