@@ -82,6 +82,38 @@ def _cdc_schema(table: Table) -> StructType:
     )
 
 
+def initial_copy(
+    spark: SparkSession, table: Table, source_df, start_lsn: int
+) -> None:
+    """Bootstrap a table from a snapshot of the upstream relation before
+    streaming begins — moonlink's initial copy (reference:
+    pg_replicate/initial_copy.rs:31-117: the COPY stream is written to
+    Parquet and bulk-ingested via one LoadFiles event at the slot's
+    consistent-point LSN; the slot is created with USE_SNAPSHOT so the
+    snapshot and the stream start are the same point,
+    clients/postgres.rs:740).
+
+    ``source_df`` is the snapshot (in production: ``spark.read.jdbc`` of
+    the PG table under the exported snapshot); ``start_lsn`` is the slot's
+    consistent point. One commit lands the whole copy; replication then
+    replays from the slot and every transaction at or below ``start_lsn``
+    is skipped by MERGE LSN idempotence — the exact recovery rule the
+    streamed path already obeys.
+    """
+    from moonlink_spark.table.writer import write_data_files
+
+    table.refresh()
+    if table.flush_lsn is not None and table.flush_lsn >= start_lsn:
+        return  # copy already landed (crash-retry); stream replay handles the rest
+    entries = write_data_files(
+        spark,
+        source_df.select(*[f.name for f in table.schema.fields]),
+        table.new_data_dir(),
+        field_id_schema=table.schema,
+    )
+    table.commit("initial-copy", added=entries, lsn=start_lsn)
+
+
 class ReplicationSink:
     """Routes decoded pgoutput events for one or more tables.
 

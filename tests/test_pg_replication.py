@@ -394,3 +394,35 @@ def test_standby_status_frame(spark, tmp_path):
     written, flushed, applied, _ts = struct.unpack_from(">QQQq", fb, 1)
     assert written == flushed == applied == 77
     assert fb[-1] == 1
+
+
+def test_initial_copy_then_stream(spark, tmp_path):
+    """initial_copy bootstraps at the slot's consistent point; replaying the
+    stream from before that point no-ops the already-snapshotted txns and
+    applies only later ones (initial_copy.rs:31-117 + USE_SNAPSHOT slot)."""
+    from moonlink_spark.pg_replication import initial_copy
+
+    t = _mk_table(tmp_path)
+    snap = spark.createDataFrame(
+        [tuple(img_row(i).values()) for i in (1, 2)],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    initial_copy(spark, t, snap, start_lsn=100)
+    # crash-retry: second call is a no-op
+    initial_copy(spark, t, snap, start_lsn=100)
+    assert t.refresh().flush_lsn == 100
+
+    enc = pgo.PgOutputEncoder()
+    # txn at LSN 100 (already inside the snapshot) + txn at 200 (new)
+    frames = _txn(
+        enc, [enc.relation(IMG_REL), enc.insert(IMG_REL, img_row(2))], final_lsn=100
+    )
+    frames += _txn(
+        enc, [enc.insert(IMG_REL, img_row(3, "post-copy"))], final_lsn=200, xid=2
+    )
+    sink = ReplicationSink(spark, {"public.images": t})
+    results = sink.apply_frames(frames)
+    assert [r.skipped for r in results] == [True, False]
+    got = _content(spark, t)
+    assert set(got) == {"img000000000001", "img000000000002", "img000000000003"}
+    assert got["img000000000003"][0] == "post-copy"
