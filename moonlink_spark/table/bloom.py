@@ -62,10 +62,15 @@ BITS_PER_KEY = 20
 NUM_HASHES = 7
 
 # sidecar objects live next to the data files they index (same lifecycle:
-# expiry/orphan GC tracks them through the entries that reference them)
-SIDECAR_SUFFIX = ".bloom.json"
+# expiry/orphan GC tracks them through the entries that reference them).
+# New sidecars are PUFFIN files (table/puffin.py — the reference stores its
+# index blobs in puffin sidecars, iceberg_table_syncer.rs:398-454); legacy
+# .bloom.json sidecars and inline blooms remain readable.
+SIDECAR_SUFFIX = ".bloom.puffin"
+LEGACY_SIDECAR_SUFFIX = ".bloom.json"
+BLOOM_BLOB_TYPE = "moonlink-key-bloom-v1"
 
-_PACK_SCHEMA = "f string, m long, k int, b64 string"
+_PACK_SCHEMA = "f string, m long, k int, bits binary"
 
 
 def _positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
@@ -90,7 +95,7 @@ def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
             "f": [pdf["f"].iloc[0]],
             "m": [m],
             "k": [NUM_HASHES],
-            "b64": [base64.b64encode(bits.tobytes()).decode()],
+            "bits": [bits.tobytes()],
         }
     )
 
@@ -120,12 +125,30 @@ def attach_key_blooms(
         )
     )
     rows = hashes.groupBy("f").applyInPandas(_pack, schema=_PACK_SCHEMA).collect()
-    blooms = {r["f"]: {"m": r["m"], "k": r["k"], "b64": r["b64"]} for r in rows}
+    blooms = {
+        r["f"]: {"m": r["m"], "k": r["k"], "bits": bytes(r["bits"])} for r in rows
+    }
     if not blooms:
         return entries
+    from moonlink_spark.table.puffin import write_puffin
+
     d = sidecar_dir or os.path.dirname(entries[0].path)
     sidecar = os.path.join(d, f"index-{uuid.uuid4().hex[:12]}{SIDECAR_SUFFIX}")
-    accessor_for(sidecar).write_atomic(sidecar, json.dumps({"blooms": blooms}))
+    write_puffin(
+        sidecar,
+        [
+            (
+                BLOOM_BLOB_TYPE,
+                kb["bits"],
+                {
+                    "referenced-data-file": f,
+                    "m": str(kb["m"]),
+                    "k": str(kb["k"]),
+                },
+            )
+            for f, kb in sorted(blooms.items())
+        ],
+    )
     _sidecar_cache.put(sidecar, blooms)
     for e in entries:
         if e.path in blooms:
@@ -158,6 +181,30 @@ def bloom_sidecar_path(entry: FileEntry) -> str | None:
     return None
 
 
+def load_sidecar(ref: str) -> dict:
+    """Load a bloom sidecar (puffin or legacy JSON) as
+    ``{data_file_path: {m, k, bits|b64}}``. A missing sidecar degrades to
+    an empty map — blooms are an optimization, never a filter."""
+    try:
+        if ref.endswith(LEGACY_SIDECAR_SUFFIX):
+            return json.loads(accessor_for(ref).read_text(ref))["blooms"]
+        from moonlink_spark.table.puffin import read_all_blobs
+
+        return {
+            m.properties["referenced-data-file"]: {
+                "m": int(m.properties["m"]),
+                "k": int(m.properties["k"]),
+                "bits": payload,
+            }
+            for m, payload in read_all_blobs(ref)
+            if m.type == BLOOM_BLOB_TYPE
+        }
+    except FileNotFoundError:
+        # sidecar gone (manual cleanup / partial restore): degrade to
+        # "may contain", never fail
+        return {}
+
+
 def bloom_may_contain_any(entry: FileEntry, key_hashes: np.ndarray) -> bool:
     """True if the file's bloom admits ANY of ``key_hashes`` (or the file has
     no bloom — blooms are an optimization, never a filter)."""
@@ -167,14 +214,7 @@ def bloom_may_contain_any(entry: FileEntry, key_hashes: np.ndarray) -> bool:
     if "ref" in kb:  # sidecar form; legacy manifests carry the bloom inline
         blooms = _sidecar_cache.get(kb["ref"])
         if blooms is None:
-            try:
-                blooms = json.loads(accessor_for(kb["ref"]).read_text(kb["ref"]))[
-                    "blooms"
-                ]
-            except FileNotFoundError:
-                # sidecar gone (manual cleanup / partial restore): blooms are
-                # an optimization — degrade to "may contain", never fail
-                blooms = {}
+            blooms = load_sidecar(kb["ref"])
             _sidecar_cache.put(kb["ref"], blooms)
         kb = blooms.get(entry.path)
         if not kb:
@@ -233,12 +273,7 @@ def prune_by_bloom_distributed(
         for pdf in pdfs:
             keep = []
             for ref, grp in pdf.groupby("ref", sort=False):
-                try:
-                    blooms = json.loads(
-                        accessor_for(ref).read_text(ref)
-                    )["blooms"]
-                except FileNotFoundError:
-                    blooms = {}
+                blooms = load_sidecar(ref)
                 for path in grp["path"]:
                     kb = blooms.get(path)
                     if kb is None or _bits_may_contain_any(kb, hashes):
@@ -257,8 +292,10 @@ def prune_by_bloom_distributed(
 
 
 def _bits_may_contain_any(kb: dict, key_hashes: np.ndarray) -> bool:
-    """Membership test against one packed bloom dict {m,k,b64}."""
-    bits = np.frombuffer(base64.b64decode(kb["b64"]), dtype=np.uint8)
+    """Membership test against one packed bloom dict {m,k,bits} (binary
+    puffin form) or {m,k,b64} (legacy JSON/inline form)."""
+    raw = kb["bits"] if "bits" in kb else base64.b64decode(kb["b64"])
+    bits = np.frombuffer(raw, dtype=np.uint8)
     m, k = int(kb["m"]), int(kb["k"])
     for lo in range(0, len(key_hashes), 4096):
         chunk = key_hashes[lo : lo + 4096]
