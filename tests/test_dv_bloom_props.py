@@ -96,7 +96,7 @@ def test_dv_corruption_raises():
 def _bloom_stats(hashes: np.ndarray) -> dict:
     pdf = pd.DataFrame({"f": "/x.parquet", "h": hashes.view(np.int64)})
     r = _pack(pdf).iloc[0]
-    return {"m": int(r["m"]), "k": int(r["k"]), "b64": r["b64"]}
+    return {"m": int(r["m"]), "k": int(r["k"]), "bits": bytes(r["bits"])}
 
 
 @settings(max_examples=200, deadline=None)
