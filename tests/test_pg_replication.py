@@ -426,3 +426,69 @@ def test_initial_copy_then_stream(spark, tmp_path):
     got = _content(spark, t)
     assert set(got) == {"img000000000001", "img000000000002", "img000000000003"}
     assert got["img000000000003"][0] == "post-copy"
+
+
+def test_chaos_schedule_through_wire_path(spark, tmp_path):
+    """The seeded chaos CDC schedule (FIXTURES F2) routed through the FULL
+    wire path — pgoutput encode → decode → ReplicationSink — must land the
+    same logical content as the pandas reference model, batch after batch.
+    Batches alternate plain transactions and v2 streamed transactions, and
+    every third batch replays its own frames first (socket retry) to prove
+    the wire path inherits MERGE's exactly-once."""
+    import pandas as pd
+
+    from moonlink_spark.cdc import CdcScheduleGenerator, ReferenceTable
+
+    gen = CdcScheduleGenerator(seed=4211)
+    ref = ReferenceTable()
+    t = _mk_table(tmp_path, "wire")
+    sink = ReplicationSink(spark, {"public.images": t})
+    enc = pgo.PgOutputEncoder()
+    sink.process(pgo.XLogData(0, 0, 0, pgo.PgOutputDecoder().decode(enc.relation(IMG_REL))))
+
+    for step in range(5):
+        b = gen.next_batch(25 + step * 7, 10 + step * 3, 5)
+        ref.apply(b)
+        lsn = gen.commit_lsn
+        ordered = b.sort_values("lsn").to_dict("records")
+
+        def ev(r):
+            if r["op"] == "D":
+                return enc.delete(IMG_REL, key={"image_id": r["image_id"]})
+            vals = {k: v for k, v in r.items() if k not in ("op", "lsn")}
+            vals["bytes"] = bytes(vals["bytes"])
+            return enc.insert(IMG_REL, vals)
+
+        if step % 2 == 0:
+            frames = [enc.xlogdata(enc.begin(lsn, xid=step + 1))]
+            frames += [enc.xlogdata(ev(r)) for r in ordered]
+            frames.append(enc.xlogdata(enc.commit(lsn, lsn)))
+        else:  # streamed, two segments
+            xid = 9000 + step
+            half = len(ordered) // 2
+            frames = [enc.xlogdata(enc.stream_start(xid, True))]
+            frames += [enc.xlogdata(ev(r)) for r in ordered[:half]]
+            frames.append(enc.xlogdata(enc.stream_stop()))
+            frames.append(enc.xlogdata(enc.stream_start(xid, False)))
+            frames += [enc.xlogdata(ev(r)) for r in ordered[half:]]
+            frames.append(enc.xlogdata(enc.stream_stop()))
+            frames.append(enc.xlogdata(enc.stream_commit(xid, lsn, lsn)))
+        if step % 3 == 0:
+            sink.apply_frames(frames)  # duplicate delivery (socket retry)
+        sink.apply_frames(frames)
+
+        got = (
+            scan(spark, t)
+            .select("image_id", "caption", "phash")
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        exp = ref.to_pandas()
+        assert len(got) == len(exp), f"step {step}: {len(got)} != {len(exp)}"
+        if len(exp):
+            pd.testing.assert_frame_equal(
+                got,
+                exp[["image_id", "caption", "phash"]].reset_index(drop=True),
+                check_dtype=False,
+            )
