@@ -59,6 +59,11 @@ def __getattr__(name):
             "moonlink_spark.operators.compact",
             "rewrite_equality_deletes",
         ),
+        "FileCatalog": ("moonlink_spark.table.namespace", "FileCatalog"),
+        "ReplicationSink": ("moonlink_spark.pg_replication", "ReplicationSink"),
+        "initial_copy": ("moonlink_spark.pg_replication", "initial_copy"),
+        "MetadataStore": ("moonlink_spark.metadata_store", "MetadataStore"),
+        "recover_all_tables": ("moonlink_spark.metadata_store", "recover_all_tables"),
     }
     if name in lazy:
         import importlib

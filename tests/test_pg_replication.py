@@ -492,3 +492,51 @@ def test_chaos_schedule_through_wire_path(spark, tmp_path):
                 exp[["image_id", "caption", "phash"]].reset_index(drop=True),
                 check_dtype=False,
             )
+
+
+# ---------------------------------------------------------------------------
+# property tests: arbitrary rows survive the wire round-trip
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=40,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    image_id=_texts.filter(bool),
+    payload=st.binary(max_size=64),
+    w=st.integers(-(2**31), 2**31 - 1),
+    h=st.integers(-(2**31), 2**31 - 1),
+    caption=st.one_of(st.none(), _texts),
+    phash=st.integers(-(2**63), 2**63 - 1),
+)
+def test_wire_roundtrip_arbitrary_rows(image_id, payload, w, h, caption, phash):
+    enc, dec = pgo.PgOutputEncoder(), pgo.PgOutputDecoder()
+    row = {
+        "image_id": image_id, "bytes": payload, "w": w, "h": h,
+        "fmt": "png", "caption": caption, "phash": phash,
+    }
+    msg = dec.decode(enc.insert(IMG_REL, row))
+    got = {}
+    for col, raw in zip(IMG_REL.columns, msg.new_tuple.columns):
+        got[col.name] = (
+            None if raw is None else pgo.decode_text(col.type_oid, raw.decode())
+        )
+    assert got == row
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), _texts),
+        max_size=8,
+    )
+)
+def test_text_array_roundtrip(arr):
+    assert pgo.decode_text(1009, pgo.encode_text(1009, arr)) == arr
