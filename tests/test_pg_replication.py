@@ -540,3 +540,57 @@ def test_wire_roundtrip_arbitrary_rows(image_id, payload, w, h, caption, phash):
 )
 def test_text_array_roundtrip(arr):
     assert pgo.decode_text(1009, pgo.encode_text(1009, arr)) == arr
+
+
+def test_typed_envelope_through_wire(spark, tmp_path):
+    """PG type decode lands correctly in a typed-envelope table: NUMERIC →
+    Decimal, TIMESTAMP, DATE, INT8[] → array<long> through pgoutput → sink
+    → MERGE → scan (conversions/text.rs parity on real engine storage)."""
+    import datetime as dtm
+    from decimal import Decimal
+
+    from pyspark.sql.types import (
+        ArrayType, DateType, DecimalType, LongType,
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("k", StringType(), False),
+        StructField("amount", DecimalType(12, 2), True),
+        StructField("ts", TimestampType(), True),
+        StructField("d", DateType(), True),
+        StructField("tags", ArrayType(LongType()), True),
+    ])
+    t = create_table(
+        str(tmp_path / "typed"), schema,
+        properties={"moonlink.identity-keys": "k"},
+    )
+    rel = pgo.Relation(
+        relation_id=5, namespace="public", relation_name="typed",
+        replica_identity="d",
+        columns=[
+            pgo.RelationColumn(1, "k", pgo.TEXT, -1),
+            pgo.RelationColumn(0, "amount", pgo.NUMERIC, -1),
+            pgo.RelationColumn(0, "ts", pgo.TIMESTAMP, -1),
+            pgo.RelationColumn(0, "d", pgo.DATE, -1),
+            pgo.RelationColumn(0, "tags", 1016, -1),  # int8[]
+        ],
+    )
+    enc = pgo.PgOutputEncoder()
+    rows = [
+        {"k": "a", "amount": Decimal("12.50"),
+         "ts": dtm.datetime(2026, 8, 20, 10, 30, 0, 250000),
+         "d": dtm.date(2026, 1, 2), "tags": [1, 2, None]},
+        {"k": "b", "amount": None, "ts": None, "d": None, "tags": None},
+    ]
+    frames = _txn(
+        enc, [enc.relation(rel)] + [enc.insert(rel, r) for r in rows], final_lsn=10
+    )
+    sink = ReplicationSink(spark, {"public.typed": t})
+    sink.apply_frames(frames)
+    got = {r["k"]: r for r in scan(spark, t).collect()}
+    assert got["a"]["amount"] == Decimal("12.50")
+    assert got["a"]["ts"] == dtm.datetime(2026, 8, 20, 10, 30, 0, 250000)
+    assert got["a"]["d"] == dtm.date(2026, 1, 2)
+    assert got["a"]["tags"] == [1, 2, None]
+    assert got["b"]["amount"] is None and got["b"]["tags"] is None
