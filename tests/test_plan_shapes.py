@@ -6,6 +6,7 @@ the MERGE probe broadcasts the CDC key side instead of shuffling the table."""
 
 import contextlib
 import io
+import os
 
 from pyspark.sql import functions as F
 
@@ -72,3 +73,32 @@ def test_merge_probe_broadcasts_cdc_keys(spark, tmp_path):
     plan = _plan(joined, mode="simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_lazy_merge_scan_broadcasts_eq_keys(spark, tmp_path):
+    """A scan over live equality-deletes anti-joins against a BROADCAST of
+    the key set — the payload never shuffles for merge-on-read."""
+    t, gen = _mk(spark, tmp_path)
+    b = gen.next_batch(0, 30, 10)
+    merge_cdc_batch(spark, t, to_spark(spark, b), gen.commit_lsn, mode="lazy")
+    plan = _plan(scan(spark, t), mode="simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_changelog_reads_only_touched_files(spark, tmp_path):
+    """scan_changes over one commit window plans a FileScan over the files
+    that commit ADDED, not the whole table (O(files-touched), never
+    O(table))."""
+    from moonlink_spark.table.changelog import scan_changes
+
+    t, gen = _mk(spark, tmp_path, n=300)
+    pre_files = {e.path for e in t.refresh().data_entries()}
+    lsn0 = t.flush_lsn
+    b = gen.next_batch(20, 0, 0)
+    merge_cdc_batch(spark, t, to_spark(spark, b), gen.commit_lsn)
+    df = scan_changes(spark, t.refresh(), from_lsn=lsn0, to_lsn=t.flush_lsn)
+    plan = _plan(df)
+    # none of the pre-existing files appear in the read plan
+    hit = [p for p in pre_files if os.path.basename(p) in plan]
+    assert hit == [], hit
