@@ -1447,6 +1447,40 @@ def q_engine_pg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engine_dedupe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: content dedup as a MAINTENANCE COMMIT — the documents
+    corpus plus injected exact copies (doc_id+100000 for doc_id%5==0) loaded
+    into an engine table keyed by doc_id, then ``dedupe_table(strategy=
+    "exact")`` removes every normalized-text duplicate as ONE MERGE delete
+    snapshot (winner = min doc_id per group). Closed form: keep exactly the
+    min-id member of each normalized-text group."""
+    import tempfile
+
+    from moonlink_spark.operators.dedupe import dedupe_table
+    from moonlink_spark.schema import IDENTITY_PROP
+    from moonlink_spark.table.catalog import create_table
+    from moonlink_spark.table.scan import scan
+    from moonlink_spark.table.writer import write_data_files
+
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    wd = tempfile.mkdtemp(prefix="moonlink_dedupe_")
+    t = create_table(
+        f"{wd}/tbl", docs.schema, properties={IDENTITY_PROP: "doc_id"}
+    )
+    entries = write_data_files(
+        spark, docs.unionByName(dup), t.new_data_dir(), field_id_schema=t.schema
+    )
+    t.commit("append", added=entries, lsn=1)
+
+    res = dedupe_table(spark, t, text_col="text", strategy="exact")
+    assert not res.skipped and res.removed > 0
+
+    return scan(spark, t).select("doc_id", "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -1485,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_ingest_api": q_engine_ingest_api,
         "engine_rest_scan": q_engine_rest_scan,
         "engine_pg_cdc": q_engine_pg_cdc,
+        "engine_dedupe_scan": q_engine_dedupe_scan,
     }
 
 
@@ -1999,6 +2034,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(k AS VARCHAR), 'ing', ph, TRUE
             FROM base WHERE k % 10 = 4 AND k % 3 = 0
+        """,
+        "engine_dedupe_scan": """
+            WITH all_docs AS (
+                SELECT doc_id, text, lang, source FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text, lang, source
+                FROM documents WHERE doc_id % 5 = 0
+            ), norm AS (
+                SELECT doc_id, lang, source,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+                FROM all_docs
+            ), keep AS (
+                SELECT min(doc_id) AS doc_id FROM norm GROUP BY nt
+            )
+            SELECT n.doc_id, n.lang, n.source
+            FROM norm n JOIN keep k ON n.doc_id = k.doc_id
         """,
         "engine_pg_cdc": _LIFECYCLE_BASE_SQL + """
             SELECT CAST(k AS VARCHAR) AS image_id,

@@ -1,0 +1,131 @@
+"""Deduplication as a table-maintenance operator.
+
+The training-data pipeline's dedup passes (exact fingerprint, MinHash-LSH
+near-dup) applied to an ENGINE table as one MERGE delete commit — the same
+snapshot/LSN machinery as every other mutation, so dedup is time-travelable,
+replayable (LSN idempotence), shows up in the changelog as ordinary delete
+events, and composes with compaction/expiry like any commit. Moonlink has no
+dedup operator (its identity upsert IS key-level dedup, mooncake_table.rs
+delete+append); this extends the maintenance surface with the content-level
+dedup a 100 TB image+caption corpus needs — a maintenance-dispatch citizen
+like optimize_table (reference dispatch shape: table_handler.rs:374-411).
+
+Strategies (both scale-correct — nothing all-pairs):
+
+- ``exact``: duplicate = identical normalized text (lowercase, collapsed
+  whitespace — functions/text.normalize_text). ONE hash-groupBy over
+  (identity, fingerprint) keyed by the tiny normalized-hash frame; the
+  winner per group is the MIN identity (deterministic), losers become
+  delete events.
+- ``minhash``: MinHash-LSH banding → candidate pairs → exact shingle-
+  Jaccard verify (functions/dedup.verified_near_dup_pairs); every verified
+  pair deletes its LARGER id. Greedy pairwise survivorship (the common
+  LSH-dedup policy): within any near-dup cluster the smallest id that is
+  never the larger end of a verified pair survives; no iterative
+  connected-components job on the hot path.
+
+The delete commit carries ONLY identity keys (payload columns NULL), so a
+dedup over a 10^12-row table moves O(losers) bytes, and ``mode="lazy"``
+writes a single equality-delete file with zero table probe.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.functions.dedup import verified_near_dup_pairs
+from moonlink_spark.functions.text import normalize_text
+from moonlink_spark.operators.merge import MergeResult, merge_cdc_batch
+from moonlink_spark.schema import table_identity
+from moonlink_spark.table.catalog import Table
+from moonlink_spark.table.scan import scan
+
+
+@dataclass
+class DedupeResult:
+    strategy: str
+    removed: int
+    merge: MergeResult | None
+
+    @property
+    def skipped(self) -> bool:
+        return self.merge is None or self.merge.skipped
+
+
+def _delete_batch(table: Table, losers: DataFrame, key: str, lsn: int) -> DataFrame:
+    """Loser ids → CDC delete rows (op 'D', payload NULL)."""
+    cols = [F.lit("D").alias("op"), F.lit(lsn).cast("long").alias("lsn")]
+    for f in table.schema.fields:
+        if f.name == key:
+            cols.append(F.col(key).cast(f.dataType).alias(key))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return losers.select(*cols)
+
+
+def exact_duplicate_losers(df: DataFrame, key: str, text_col: str) -> DataFrame:
+    """Identity values that lose exact dedup: every row whose normalized
+    text matches a group whose minimum identity is someone else. The
+    groupBy carries only (norm-hash, identity) — never the text payload —
+    and map-side combines, so a viral duplicate (the hot-key case) reaches
+    the reducer as one row per map task."""
+    norm = df.select(
+        F.col(key), F.md5(normalize_text(F.col(text_col))).alias("__fp")
+    )
+    winners = norm.groupBy("__fp").agg(F.min(key).alias("__keep"))
+    return (
+        norm.join(winners, "__fp")
+        .filter(F.col(key) != F.col("__keep"))
+        .select(key)
+    )
+
+
+def near_duplicate_losers(
+    df: DataFrame, key: str, text_col: str, min_jaccard: float, **lsh_kw
+) -> DataFrame:
+    """Identity values that are the LARGER end of at least one verified
+    near-dup pair (greedy pairwise survivorship)."""
+    pairs = verified_near_dup_pairs(
+        df, key, text_col, min_jaccard=min_jaccard, **lsh_kw
+    )
+    return pairs.select(F.col("id_b").alias(key)).distinct()
+
+
+def dedupe_table(
+    spark: SparkSession,
+    table: Table,
+    text_col: str,
+    strategy: str = "exact",
+    lsn: int | None = None,
+    min_jaccard: float = 0.8,
+    mode: str | None = None,
+    **lsh_kw,
+) -> DedupeResult:
+    """Remove duplicate rows as ONE MERGE delete snapshot at ``lsn``
+    (default: flush LSN + 1). Requires a single-column identity — content
+    dedup keys rows by their one id, like every corpus pipeline here."""
+    keys = table_identity(table)
+    if len(keys) != 1:
+        raise ValueError(
+            f"dedupe_table requires a single identity column, got {keys}"
+        )
+    key = keys[0]
+    table.refresh()
+    df = scan(spark, table, columns=[key, text_col])
+    if strategy == "exact":
+        losers = exact_duplicate_losers(df, key, text_col)
+    elif strategy == "minhash":
+        losers = near_duplicate_losers(
+            df, key, text_col, min_jaccard=min_jaccard, **lsh_kw
+        )
+    else:
+        raise ValueError(f"unknown dedupe strategy {strategy!r}")
+
+    commit_lsn = lsn if lsn is not None else (table.flush_lsn or 0) + 1
+    batch = _delete_batch(table, losers, key, commit_lsn)
+    res = merge_cdc_batch(spark, table, batch, commit_lsn, key=key, mode=mode)
+    removed = 0 if res.skipped else int(res.metrics.get("matched", 0))
+    return DedupeResult(strategy=strategy, removed=removed, merge=res)

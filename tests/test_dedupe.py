@@ -1,0 +1,105 @@
+"""dedupe_table: content dedup as a maintenance MERGE commit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from moonlink_spark.operators.dedupe import dedupe_table
+from moonlink_spark.schema import IDENTITY_PROP
+from moonlink_spark.table.catalog import create_table
+from moonlink_spark.table.scan import scan, scan_at_lsn
+from moonlink_spark.table.writer import write_data_files
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def _mk(spark, tmp_path, rows):
+    t = create_table(
+        str(tmp_path / "docs"), DOCS_SCHEMA, properties={IDENTITY_PROP: "doc_id"}
+    )
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    t.commit(
+        "append",
+        added=write_data_files(spark, df, t.new_data_dir(), field_id_schema=t.schema),
+        lsn=1,
+    )
+    return t
+
+
+def test_exact_dedupe(spark, tmp_path):
+    rows = [
+        (1, "The quick brown fox"),
+        (2, "the  QUICK   brown fox "),  # normalized dup of 1
+        (3, "something else entirely"),
+        (4, "The quick brown fox"),      # dup of 1
+        (5, "unique five"),
+    ]
+    t = _mk(spark, tmp_path, rows)
+    res = dedupe_table(spark, t, text_col="text", strategy="exact")
+    assert res.removed == 2 and not res.skipped
+    kept = sorted(r["doc_id"] for r in scan(spark, t).collect())
+    assert kept == [1, 3, 5]
+    # the dedup is a snapshot like any other: time travel sees the pre state
+    assert scan_at_lsn(spark, t, 1).count() == 5
+    # replay at the same LSN is a no-op
+    res2 = dedupe_table(spark, t, text_col="text", lsn=res.merge.snapshot.summary["lsn"])
+    assert res2.skipped
+    # a second pass finds nothing new
+    res3 = dedupe_table(spark, t, text_col="text")
+    assert res3.removed == 0
+
+
+def test_minhash_dedupe_near_dups(spark, tmp_path):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest near the river bank every morning"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("morning", "evening")),  # near-dup of 1
+        (3, "completely different content about spark table maintenance "
+            "engines compacting parquet files with deletion vectors daily"),
+        (4, base.replace("quick", "swift")),       # near-dup of 1
+    ]
+    t = _mk(spark, tmp_path, rows)
+    res = dedupe_table(
+        spark, t, text_col="text", strategy="minhash", min_jaccard=0.5
+    )
+    kept = sorted(r["doc_id"] for r in scan(spark, t).collect())
+    # greedy pairwise: 2 and 4 are the larger ends of verified pairs
+    assert kept == [1, 3]
+    assert res.removed == 2
+
+
+def test_dedupe_emits_changelog_deletes(spark, tmp_path):
+    from moonlink_spark.table.changelog import scan_changes
+
+    rows = [(1, "same text"), (2, "same text"), (3, "other")]
+    t = _mk(spark, tmp_path, rows)
+    lsn0 = t.flush_lsn
+    dedupe_table(spark, t, text_col="text")
+    t.refresh()
+    ev = scan_changes(spark, t, from_lsn=lsn0, to_lsn=t.flush_lsn)
+    dels = [r["doc_id"] for r in ev.filter(F.col("_change_type") == "delete").collect()]
+    assert dels == [2]
+
+
+def test_dedupe_requires_single_identity(spark, tmp_path):
+    t = create_table(
+        str(tmp_path / "c"), DOCS_SCHEMA,
+        properties={IDENTITY_PROP: "doc_id,text"},
+    )
+    with pytest.raises(ValueError, match="single identity"):
+        dedupe_table(spark, t, text_col="text")
