@@ -151,6 +151,21 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_dedupe(args) -> int:
+    from moonlink_spark.operators.dedupe import dedupe_table
+    from moonlink_spark.table.catalog import load_table
+
+    spark = _spark(args)
+    t = load_table(args.location)
+    res = dedupe_table(
+        spark, t, text_col=args.text_col, strategy=args.strategy,
+        min_jaccard=args.min_jaccard,
+    )
+    print(json.dumps({"strategy": res.strategy, "removed": res.removed,
+                      "skipped": res.skipped}))
+    return 0
+
+
 def cmd_orphans(args) -> int:
     from moonlink_spark.operators.orphans import remove_orphan_files
     from moonlink_spark.table.catalog import load_table
@@ -213,6 +228,12 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("ingest")
     s.add_argument("location"); s.add_argument("batch")
     s.add_argument("--lsn", type=int, required=True); s.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("dedupe")
+    s.add_argument("location"); s.add_argument("--text-col", required=True)
+    s.add_argument("--strategy", default="exact", choices=["exact", "minhash"])
+    s.add_argument("--min-jaccard", type=float, default=0.8)
+    s.set_defaults(fn=cmd_dedupe)
 
     s = sub.add_parser("orphans")
     s.add_argument("location"); s.add_argument("--apply", action="store_true")
