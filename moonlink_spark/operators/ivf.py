@@ -1,0 +1,192 @@
+"""IVF indexing as a table layout: ANN meets the maintenance engine.
+
+`functions/similarity.ivf_topk` notes that at the 100 TB point "the cell id
+is a file-clustering key: manifest min/max on ``cell`` makes the probe a
+file skip". This operator makes that literal over an ENGINE table:
+
+- :func:`ivf_index_table` materializes each row's nearest coarse-centroid
+  cell into a real ``cell`` column (added via schema evolution if absent),
+  rewrites the table ordered by cell (``repartitionByRange`` +
+  ``sortWithinPartitions`` — the exact machinery `operators/cluster.py`
+  uses for SFC codes), and PINS the centroid matrix in table properties —
+  probes must hash queries against the very centroids that built the
+  layout, the same build/probe-symmetry invariant as bucketed MERGE keys
+  (``write.bucket-key``) and persisted index bucket counts
+  (reference: persisted_bucket_hash_map.rs:73-93 fixes num_buckets inside
+  each index file for the same reason).
+- :func:`ivf_topk_table` assigns queries to their ``n_probe`` nearest
+  pinned centroids and reads ONLY the files whose manifest [min,max] cell
+  interval covers a probed cell (one `scan_range` per distinct cell,
+  unioned) — file-level pruning through the ordinary stat planner, then
+  an exact cosine re-rank of the surviving candidates.
+
+The index survives maintenance: compaction/cluster rewrites keep the cell
+column's values (it is a real column), and any full rewrite that re-sorts
+by other keys degrades pruning gracefully (scan_range still returns correct
+rows — bounds just widen) until the next ``ivf_index_table`` call.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField
+
+from moonlink_spark.functions.similarity import _centroids, assign_cells, cosine
+from moonlink_spark.table.catalog import Table
+from moonlink_spark.table.scan import scan, scan_range
+from moonlink_spark.table.writer import write_data_files
+
+IVF_CENTROIDS_PROP = "moonlink.ivf.centroids"
+IVF_META_PROP = "moonlink.ivf.meta"
+
+
+@dataclass
+class IvfIndexResult:
+    n_cells: int
+    out_files: int
+    snapshot: object
+
+
+def _encode_centroids(C: np.ndarray) -> str:
+    return base64.b64encode(C.astype("<f4").tobytes()).decode()
+
+
+def load_centroids(table: Table) -> tuple[np.ndarray, dict]:
+    meta = json.loads(table.md.properties.get(IVF_META_PROP, "null"))
+    b64 = table.md.properties.get(IVF_CENTROIDS_PROP)
+    if not meta or not b64:
+        raise ValueError(
+            "table has no IVF index (run ivf_index_table first)"
+        )
+    C = np.frombuffer(base64.b64decode(b64), dtype="<f4").reshape(
+        meta["n_cells"], meta["dim"]
+    ).astype(np.float64)
+    return C, meta
+
+
+def ivf_index_table(
+    spark: SparkSession,
+    table: Table,
+    dim: int,
+    n_cells: int = 64,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    target_bytes: int | None = None,
+) -> IvfIndexResult:
+    """Build/rebuild the IVF layout: ONE full rewrite ordered by cell."""
+    from moonlink_spark.table.writer import COMPACT_TARGET_BYTES
+    from moonlink_spark.operators.evolve import add_columns
+
+    table.refresh()
+    if cell_col not in [f.name for f in table.schema.fields]:
+        add_columns(table, [StructField(cell_col, LongType(), True)])
+        table.refresh()
+
+    live = scan(spark, table)
+    cent = _centroids(live, dim, n_cells, seed, id_col, vec_col)
+    cells = assign_cells(live, cent, id_col, vec_col, n_probe=1).withColumnsRenamed(
+        {"id": id_col, "cell": "__new_cell"}
+    )
+    entries = table.data_entries()
+    live_bytes = sum(e.file_size_bytes for e in entries)
+    bins = max(1, -(-live_bytes // (target_bytes or COMPACT_TARGET_BYTES)))
+    arranged = (
+        live.drop(cell_col)
+        .join(cells, id_col)
+        .withColumnRenamed("__new_cell", cell_col)
+        .select(*[f.name for f in table.schema.fields])
+        .repartitionByRange(bins, cell_col)
+        .sortWithinPartitions(cell_col)
+    )
+    new_entries = write_data_files(
+        spark, arranged, table.new_data_dir(), field_id_schema=table.schema
+    )
+    # pin centroids + layout metadata FIRST (a probe against the old layout
+    # with new centroids would be wrong; old centroids + new layout are
+    # merely unpruned), then land the rewrite
+    table.set_properties(
+        {
+            IVF_CENTROIDS_PROP: _encode_centroids(cent),
+            IVF_META_PROP: json.dumps(
+                {
+                    "n_cells": int(n_cells), "dim": int(dim), "seed": int(seed),
+                    "id_col": id_col, "vec_col": vec_col, "cell_col": cell_col,
+                }
+            ),
+        }
+    )
+    table.refresh()
+    snap = table.commit_with_retry(
+        "ivf-index",
+        added=new_entries,
+        removed_paths={e.path for e in entries},
+        conflict_on_new_deletes=True,
+        summary_extra={"ivf-metrics": {"n_cells": n_cells, "bins": bins}},
+    )
+    return IvfIndexResult(n_cells=n_cells, out_files=len(new_entries), snapshot=snap)
+
+
+def ivf_topk_table(
+    spark: SparkSession,
+    table: Table,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k over an IVF-indexed table: probe cells → file-pruned
+    reads → exact cosine re-rank. Returns (query_id, neighbor_id, cos, rank).
+    """
+    from pyspark.sql import Window
+
+    table.refresh()
+    cent, meta = load_centroids(table)
+    id_col, vec_col, cell_col = meta["id_col"], meta["vec_col"], meta["cell_col"]
+
+    qcells = assign_cells(queries, cent, id_col, vec_col, n_probe=n_probe)
+    probe_cells = sorted(
+        r["cell"] for r in qcells.select("cell").distinct().collect()
+    )
+    # one stat-pruned read per probed cell; the union de-dups at candidate
+    # level (a file spanning two probed cells contributes its rows twice →
+    # dropDuplicates below)
+    parts = [
+        scan_range(spark, table, cell_col, c, c).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.col(cell_col).alias("cell"),
+        )
+        for c in probe_cells
+    ]
+    cand_pool = parts[0]
+    for p in parts[1:]:
+        cand_pool = cand_pool.unionByName(p)
+    cand_pool = cand_pool.dropDuplicates(["neighbor_id", "cell"])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).join(qcells.withColumnRenamed("id", "query_id"), "query_id")
+
+    scored = (
+        cand_pool.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

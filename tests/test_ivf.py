@@ -1,0 +1,108 @@
+"""IVF layout over an engine table: index build, pinned centroids,
+file-pruned probes, recall vs exact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+)
+
+from moonlink_spark.functions.similarity import exact_topk
+from moonlink_spark.operators.ivf import (
+    ivf_index_table,
+    ivf_topk_table,
+    load_centroids,
+)
+from moonlink_spark.schema import IDENTITY_PROP
+from moonlink_spark.table.catalog import create_table
+from moonlink_spark.table.scan import scan
+from moonlink_spark.table.writer import write_data_files
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), True),
+        StructField("label", IntegerType(), True),
+    ]
+)
+
+DIM = 16
+
+
+def _mk(spark, tmp_path, sf_dir="/root/testdata/sf0.01"):
+    t = create_table(
+        str(tmp_path / "emb"), EMB_SCHEMA, properties={IDENTITY_PROP: "vec_id"}
+    )
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(df.select("embedding").first()[0])
+    t.commit(
+        "append",
+        added=write_data_files(spark, df, t.new_data_dir(), field_id_schema=t.schema),
+        lsn=1,
+    )
+    return t, dim
+
+
+def test_index_build_and_probe(spark, tmp_path):
+    t, dim = _mk(spark, tmp_path)
+    n = scan(spark, t).count()
+    res = ivf_index_table(spark, t, dim=dim, n_cells=16, target_bytes=8 << 10)
+    t.refresh()
+    # the cell column is real and fully populated after the rewrite
+    got = scan(spark, t)
+    assert "cell" in got.columns
+    assert got.filter(F.col("cell").isNull()).count() == 0
+    assert got.count() == n
+
+    # centroids are pinned and reload exactly
+    C, meta = load_centroids(t)
+    assert C.shape == (16, dim) and meta["cell_col"] == "cell"
+
+    # files carry tight cell bounds: at least one file's [min,max] excludes
+    # at least one probed cell (i.e. pruning is possible at all)
+    entries = t.data_entries()
+    assert len(entries) > 1
+    spans = [
+        (e.stats["cell"]["min"], e.stats["cell"]["max"])
+        for e in entries
+        if e.stats.get("cell")
+    ]
+    assert spans and any(lo == hi or hi - lo < 15 for lo, hi in spans), spans
+
+    # probe: recall vs exact top-k
+    queries = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").filter(
+        F.col("vec_id") < 8
+    )
+    approx = ivf_topk_table(spark, t, queries, k=3, n_probe=6)
+    exact = exact_topk(
+        scan(spark, t).select("vec_id", "embedding"), queries, k=3
+    )
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.5, (len(a & e), len(e))
+
+
+def test_probe_reads_subset_of_files(spark, tmp_path):
+    """A 1-cell probe's planned read lists fewer files than the table has —
+    the manifest stat prune is doing file-level work, not row filtering."""
+    from moonlink_spark.table.scan import prune_entries, scan_range
+
+    t, dim = _mk(spark, tmp_path)
+    ivf_index_table(spark, t, dim=dim, n_cells=16, target_bytes=8 << 10)
+    t.refresh()
+    entries = t.data_entries()
+    surv = prune_entries(entries, "cell", 0, 0)
+    assert len(surv) < len(entries), (len(surv), len(entries))
+    # and the surviving-file scan returns exactly cell-0 rows
+    assert (
+        scan_range(spark, t, "cell", 0, 0).count()
+        == scan(spark, t).filter(F.col("cell") == 0).count()
+    )
+
+
+def test_probe_without_index_errors(spark, tmp_path):
+    t, dim = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="no IVF index"):
+        ivf_topk_table(spark, t, scan(spark, t).limit(1), k=1)
