@@ -369,10 +369,12 @@ def select_candidates(
     min_files: int = 16,
     max_files: int = 32,
     delete_ratio: float = 0.5,
+    entries: list[FileEntry] | None = None,
 ) -> list[FileEntry]:
     """Trigger policy per compaction_config.rs:47-54 + mode overrides per
-    snapshot_maintenance.rs:57-76."""
-    data = table.data_entries()
+    snapshot_maintenance.rs:57-76. ``entries`` restricts the candidate pool
+    (scoped compaction); default is the whole snapshot."""
+    data = entries if entries is not None else table.data_entries()
     # on a bucketed table, an unbucketed file is un-indexed (always probed by
     # MERGE) — it is a compaction candidate regardless of size so the
     # bucketize rewrite picks it up
@@ -461,8 +463,22 @@ def compact(
     delete_ratio: float = 0.5,
     checkpoint_root: str | None = None,
     batch_bins_threshold: int = _BATCH_BINS_THRESHOLD,
+    scope_key: str | list[str] | None = None,
+    scope_lo=None,
+    scope_hi=None,
+    scope_buckets: set[int] | None = None,
 ) -> CompactResult:
+    """``scope_*`` limits the rewrite to a slice of the table — the 100 TB
+    spot-maintenance shape (compact the hot key range / buckets a skewed
+    ingest just fragmented, not the whole table). ``scope_key``+bounds
+    prune the candidate pool by manifest min/max exactly like ``scan_range``
+    (distributed over parquet manifests at scale, so the driver holds
+    O(slice)); ``scope_buckets`` restricts to those key buckets (un-bucketed
+    files stay eligible — they are MERGE-probe debt wherever they live).
+    The selection policy (min_files, delete_ratio...) then applies WITHIN
+    the slice."""
     table.refresh()
+    scoped = scope_key is not None or scope_buckets is not None
     # candidate selection runs DISTRIBUTED over parquet manifests when the
     # table is at that scale (planning.py — delete counts join the manifests
     # as a DataFrame, so the driver holds O(candidates), never O(table) and
@@ -470,7 +486,32 @@ def compact(
     # from the dict form, same policy
     from moonlink_spark.table.planning import plan_compaction_candidates, plannable
 
-    if plannable(table):
+    if scoped:
+        from moonlink_spark.schema import normalize_keys
+        from moonlink_spark.table.planning import plan_data_candidates
+        from moonlink_spark.table.scan import prune_entries
+
+        if scope_key is not None:
+            keys = normalize_keys(scope_key)
+            los = list(scope_lo) if isinstance(scope_lo, (list, tuple)) else [scope_lo]
+            his = list(scope_hi) if isinstance(scope_hi, (list, tuple)) else [scope_hi]
+            planned = plan_data_candidates(spark, table, keys, los, his)
+            if planned is not None:
+                pool = planned[0]
+            else:
+                pool = table.data_entries()
+                for k, lo, hi in zip(keys, los, his):
+                    pool = prune_entries(pool, k, lo, hi)
+        else:
+            pool = table.data_entries()
+        if scope_buckets is not None:
+            pool = [e for e in pool if e.bucket in scope_buckets or e.bucket is None]
+        del_counts = _delete_counts(spark, table)
+        selected = select_candidates(
+            table, del_counts, mode, target_bytes, min_files, max_files,
+            delete_ratio, entries=pool,
+        )
+    elif plannable(table):
         dc_df = _delete_counts_df(spark, table)
         if dc_df is not None:
             dc_df = dc_df.cache()
