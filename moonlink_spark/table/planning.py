@@ -54,6 +54,23 @@ def plannable(table: Table, snapshot_id: int | None = None) -> bool:
     )
 
 
+def _leaf_type(schema, dotted: str) -> str | None:
+    """Spark simpleString type of a (possibly struct-nested) column path."""
+    from pyspark.sql.types import StructType
+
+    cur = schema
+    typ = None
+    for seg in dotted.split("."):
+        if not isinstance(cur, StructType):
+            return None
+        f = next((f for f in cur.fields if f.name == seg), None)
+        if f is None:
+            return None
+        typ = f.dataType
+        cur = typ
+    return typ.simpleString() if typ is not None else None
+
+
 def _row_to_entry(r) -> FileEntry:
     return FileEntry(
         content=r["content"],
@@ -106,12 +123,15 @@ def plan_data_candidates(
         )
     # bounds live in the per-entry stats JSON; cast to each key's table type
     # so interval overlap compares typed values, not strings
-    types = {f.name: f.dataType.simpleString() for f in table.schema.fields}
     for k, klo, khi in zip(keys, los, his):
         if klo is None or khi is None:
             continue
-        mn = F.get_json_object("stats", f"$.{k}.min").cast(types.get(k, "string"))
-        mx = F.get_json_object("stats", f"$.{k}.max").cast(types.get(k, "string"))
+        # dotted keys are struct-leaf stats — ONE top-level JSON key
+        # containing dots, addressed with bracket syntax
+        jp = f"$['{k}']" if "." in k else f"$.{k}"
+        typ = _leaf_type(table.schema, k) or "string"
+        mn = F.get_json_object("stats", f"{jp}.min").cast(typ)
+        mx = F.get_json_object("stats", f"{jp}.max").cast(typ)
         keep = keep & (
             mn.isNull() | mx.isNull() | ~((mx < F.lit(klo)) | (mn > F.lit(khi)))
         )

@@ -24,6 +24,28 @@ _STATS_SCHEMA = "path string, record_count long, file_size_bytes long, stats_jso
 
 _TRUNC = 64  # string min/max truncation length (Iceberg-style)
 
+def _struct_leaf_paths(schema_arrow) -> frozenset[str]:
+    """Dotted paths reachable through STRUCT nesting only. Bounds under a
+    list/map repetition level (x.list.element, m.key_value.key) describe
+    element content, not a file-level range of the column, so they are
+    excluded — detection walks the arrow types, not path-segment names
+    (a struct field legitimately named "key" or "value" keeps its bounds)."""
+    import pyarrow as pa
+
+    out: set[str] = set()
+
+    def walk(prefix: str, typ) -> None:
+        if pa.types.is_struct(typ):
+            for f in typ:
+                walk(f"{prefix}.{f.name}", f.type)
+        else:
+            out.add(prefix)
+
+    for f in schema_arrow:
+        if pa.types.is_struct(f.type):
+            walk(f.name, f.type)
+    return frozenset(out)
+
 
 def _jsonable(v, is_max: bool):
     """Make a footer stat JSON-serializable while keeping bound safety:
@@ -106,13 +128,21 @@ def _footer_stats(
             and any(expected_field_ids.get(n) != i for n, i in fmap.items())
         ):
             agg[NO_FIELD_IDS_STAT] = True
+        struct_leaves = _struct_leaf_paths(pf.schema_arrow)
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 name = col.path_in_schema
                 if "." in name:
-                    continue  # nested — skip bounds
+                    # Struct leaves keep their dotted path as the stats key
+                    # (Iceberg tracks bounds per LEAF field, and moonlink's
+                    # fold walks leaves the same way,
+                    # parquet_stats_utils.rs:327-412); paths through a
+                    # list/map repetition level carry no file-range meaning
+                    # and are skipped.
+                    if name not in struct_leaves:
+                        continue
                 st = col.statistics
                 if st is None:
                     continue
