@@ -577,6 +577,35 @@ def q_engine_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan(spark, t).select(*_LIFECYCLE_COLS)
 
 
+def q_engine_scoped_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: key-range SPOT compaction — compact only the image_id
+    slice ['2','5'] (candidate pool pruned by manifest min/max exactly like
+    scan_range, distributed at parquet-manifest scale; files outside the
+    scope untouched), then read the slice back through scan_range so the
+    probe serves the rewritten files. The 100 TB shape: maintain the hot
+    key range a skewed ingest fragmented, not the whole table."""
+    from moonlink_spark.operators.compact import compact
+    from moonlink_spark.table.scan import scan_range
+
+    t = _lifecycle_table(spark, sf_dir)
+    compact(spark, t, mode="full", scope_key="image_id", scope_lo="2", scope_hi="5")
+    return scan_range(spark, t, "image_id", "2", "5").select(*_LIFECYCLE_COLS)
+
+
+def q_engine_rebucket_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: bucket-count rescale 16→8 as ONE atomic full-rewrite
+    commit — deletes folded, key blooms rebuilt, ``write.buckets`` flipped
+    co-atomically so build and probe always hash with the same bucket count
+    (the invariant moonlink pins per persisted index file,
+    persisted_bucket_hash_map.rs:73-93). Content must be byte-identical."""
+    from moonlink_spark.operators.rebucket import rebucket_table
+    from moonlink_spark.table.scan import scan
+
+    t = _lifecycle_table(spark, sf_dir)
+    rebucket_table(spark, t, 8)
+    return scan(spark, t).select(*_LIFECYCLE_COLS)
+
+
 def q_engine_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine e2e: snapshot-isolation time travel — after both MERGE
     batches, read back at LSN 2 (post-batch-1 state)."""
@@ -1504,6 +1533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_merge_scan": q_engine_merge_scan,
         "engine_range_scan": q_engine_range_scan,
         "engine_compact_scan": q_engine_compact_scan,
+        "engine_scoped_compact": q_engine_scoped_compact,
+        "engine_rebucket_scan": q_engine_rebucket_scan,
         "engine_cluster_scan": q_engine_cluster_scan,
         "engine_timetravel": q_engine_timetravel,
         "engine_changelog": q_engine_changelog,
@@ -1898,6 +1929,32 @@ def oracle_sql() -> dict[str, str]:
                    OR (k % 10 = 5 AND k % 3 = 0)
                    OR (k % 10 = 7 AND k % 3 = 1)
             ) WHERE image_id BETWEEN '2' AND '5'
+        """,
+        # spot compaction preserves slice content; probe reads rewritten files
+        "engine_scoped_compact": _LIFECYCLE_BASE_SQL + """
+            SELECT * FROM (
+                SELECT CAST(k AS VARCHAR) AS image_id,
+                       CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
+                            WHEN k % 10 < 3 AND k % 7 = 4 THEN c || ' v3'
+                            ELSE c END AS caption,
+                       ph AS phash
+                FROM base
+                WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 5))
+                   OR (k % 10 = 5 AND k % 3 = 0)
+                   OR (k % 10 = 7 AND k % 3 = 1)
+            ) WHERE image_id BETWEEN '2' AND '5'
+        """,
+        # bucket rescale is a content-preserving full rewrite
+        "engine_rebucket_scan": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
+                        WHEN k % 10 < 3 AND k % 7 = 4 THEN c || ' v3'
+                        ELSE c END AS caption,
+                   ph AS phash
+            FROM base
+            WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 5))
+               OR (k % 10 = 5 AND k % 3 = 0)
+               OR (k % 10 = 7 AND k % 3 = 1)
         """,
         "engine_compact_scan": _LIFECYCLE_BASE_SQL + """
             SELECT CAST(k AS VARCHAR) AS image_id,
