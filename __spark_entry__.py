@@ -606,6 +606,27 @@ def q_engine_rebucket_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan(spark, t).select(*_LIFECYCLE_COLS)
 
 
+def q_engine_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: ANALYZE over the post-MERGE snapshot — ONE distributed
+    aggregation (HLL++ NDV + exact nulls/sizes, operators/analyze.py)
+    persisted as a puffin statistics file and read back. The oracled
+    projection is the EXACT part (row count, null counts, byte sizes of the
+    sized columns); NDV accuracy is pinned by pytest (test_analyze.py)."""
+    from moonlink_spark.operators.analyze import analyze_table, table_stats
+
+    t = _lifecycle_table(spark, sf_dir)
+    analyze_table(spark, t, columns=["image_id", "fmt", "caption"])
+    _, row_count, cols = table_stats(t)
+    rows = [
+        (c, row_count, cols[c]["null_count"], cols[c]["total_size_bytes"])
+        for c in ("caption", "fmt", "image_id")
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column string, row_count long, null_count long, total_size_bytes long",
+    )
+
+
 def q_engine_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine e2e: snapshot-isolation time travel — after both MERGE
     batches, read back at LSN 2 (post-batch-1 state)."""
@@ -1535,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_compact_scan": q_engine_compact_scan,
         "engine_scoped_compact": q_engine_scoped_compact,
         "engine_rebucket_scan": q_engine_rebucket_scan,
+        "engine_analyze_stats": q_engine_analyze_stats,
         "engine_cluster_scan": q_engine_cluster_scan,
         "engine_timetravel": q_engine_timetravel,
         "engine_changelog": q_engine_changelog,
@@ -1929,6 +1951,38 @@ def oracle_sql() -> dict[str, str]:
                    OR (k % 10 = 5 AND k % 3 = 0)
                    OR (k % 10 = 7 AND k % 3 = 1)
             ) WHERE image_id BETWEEN '2' AND '5'
+        """,
+        # ANALYZE: exact fields (row count / nulls / byte sizes) of the
+        # merged closed form; NDV is sketch-approximate and pytest-pinned
+        "engine_analyze_stats": """
+    WITH merged AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS image_id,
+               o_orderstatus AS fmt,
+               CASE WHEN o_orderkey % 10 < 3 AND o_orderkey % 7 = 1
+                        THEN o_orderpriority || ' v2'
+                    WHEN o_orderkey % 10 < 3 AND o_orderkey % 7 = 4
+                        THEN o_orderpriority || ' v3'
+                    ELSE o_orderpriority END AS caption
+        FROM orders
+        WHERE (o_orderkey % 10 < 3 AND o_orderkey % 7 NOT IN (2, 5))
+           OR (o_orderkey % 10 = 5 AND o_orderkey % 3 = 0)
+           OR (o_orderkey % 10 = 7 AND o_orderkey % 3 = 1)
+    )
+    SELECT 'caption' AS "column", COUNT(*) AS row_count,
+           CAST(SUM(CASE WHEN caption IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_count,
+           CAST(SUM(LENGTH(caption)) AS BIGINT) AS total_size_bytes
+    FROM merged
+    UNION ALL
+    SELECT 'fmt', COUNT(*),
+           CAST(SUM(CASE WHEN fmt IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(LENGTH(fmt)) AS BIGINT)
+    FROM merged
+    UNION ALL
+    SELECT 'image_id', COUNT(*),
+           CAST(SUM(CASE WHEN image_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(LENGTH(image_id)) AS BIGINT)
+    FROM merged
         """,
         # spot compaction preserves slice content; probe reads rewritten files
         "engine_scoped_compact": _LIFECYCLE_BASE_SQL + """

@@ -36,6 +36,8 @@ def __getattr__(name):
         "clone_table": ("moonlink_spark.operators.clone", "clone_table"),
         "remove_orphan_files": ("moonlink_spark.operators.orphans", "remove_orphan_files"),
         "rebucket_table": ("moonlink_spark.operators.rebucket", "rebucket_table"),
+        "analyze_table": ("moonlink_spark.operators.analyze", "analyze_table"),
+        "table_stats": ("moonlink_spark.operators.analyze", "table_stats"),
         "rewrite_position_deletes": ("moonlink_spark.operators.compact", "rewrite_position_deletes"),
         "expire_snapshots": ("moonlink_spark.operators.expire", "expire_snapshots"),
         "scan": ("moonlink_spark.table.scan", "scan"),

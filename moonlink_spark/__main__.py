@@ -166,6 +166,28 @@ def cmd_dedupe(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    from moonlink_spark.operators.analyze import analyze_table
+    from moonlink_spark.table.catalog import load_table
+
+    spark = _spark(args)
+    t = load_table(args.location)
+    cols = args.columns.split(",") if args.columns else None
+    res = analyze_table(spark, t, columns=cols)
+    print(
+        json.dumps(
+            {
+                "analyzed": args.location,
+                "snapshot_id": res.snapshot_id,
+                "row_count": res.row_count,
+                "stats_file": res.path,
+                "columns": res.columns,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_orphans(args) -> int:
     from moonlink_spark.operators.orphans import remove_orphan_files
     from moonlink_spark.table.catalog import load_table
@@ -234,6 +256,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--strategy", default="exact", choices=["exact", "minhash"])
     s.add_argument("--min-jaccard", type=float, default=0.8)
     s.set_defaults(fn=cmd_dedupe)
+
+    s = sub.add_parser("analyze")
+    s.add_argument("location")
+    s.add_argument("--columns", default=None)
+    s.set_defaults(fn=cmd_analyze)
 
     s = sub.add_parser("orphans")
     s.add_argument("location"); s.add_argument("--apply", action="store_true")
