@@ -38,6 +38,7 @@ def __getattr__(name):
         "rebucket_table": ("moonlink_spark.operators.rebucket", "rebucket_table"),
         "analyze_table": ("moonlink_spark.operators.analyze", "analyze_table"),
         "table_stats": ("moonlink_spark.operators.analyze", "table_stats"),
+        "register_datasource": ("moonlink_spark.datasource", "register"),
         "rewrite_position_deletes": ("moonlink_spark.operators.compact", "rewrite_position_deletes"),
         "expire_snapshots": ("moonlink_spark.operators.expire", "expire_snapshots"),
         "scan": ("moonlink_spark.table.scan", "scan"),

@@ -1,0 +1,455 @@
+"""Spark-native DataSource: ``spark.read.format("moonlink")`` and
+``spark.readStream.format("moonlink")`` over engine tables.
+
+The engine's primary read path is ``table.scan.scan`` (JVM parquet reader,
+broadcast DV anti-join, whole-stage codegen) — that remains the hot path.
+This module is the *integration* surface: PySpark 4's Python DataSource API
+(pyspark.sql.datasource) lets the table participate in plain
+``spark.read``/``spark.readStream`` pipelines — the moonlink reference
+exposes its tables to engines the same way, by publishing them as Iceberg
+for any reader to consume (src/moonlink/src/storage/iceberg/
+iceberg_table_syncer.rs); here the published form IS the table, and the
+DataSource makes it consumable without importing the library's scan API.
+
+Design:
+
+- **Planning is metadata-only.** Partitions are derived from snapshot
+  manifests (one partition per data file / per delete-file pre-image
+  group); no Spark jobs run inside the source, so batch planning cannot
+  deadlock micro-batch scheduling and is O(files-in-scope) driver-side —
+  the same discipline as the engine's own planners.
+- **Reads are executor-side pyarrow** (Arrow RecordBatches straight to
+  Spark — the Python DataSource transport). Each partition independently
+  applies its file's deletion vectors (packed-bitmap DV2/DV2C with crc
+  verification, legacy v1 rows), equality-delete key sets under the
+  strictly-older sequence rule, and field-id/name column resolution with
+  widening casts — byte-identical semantics to ``table.scan.scan``.
+- **Streaming is the changelog.** ``readStream`` consumes LSN offsets:
+  each micro-batch replays ``(start, end]`` commits as insert events (rows
+  of files added by data-changing commits) and delete events (DV
+  pre-images read by position) — the incremental-read contract of
+  table/changelog.py, checkpointable by Spark because offsets are plain
+  ``{"lsn": N}`` JSON and window reconstruction is deterministic.
+
+Contracts: streaming requires ``.option("cdc", "true")`` (the schema gains
+``_change_type``/``_change_lsn``). Lazy-MERGE equality-delete commits in a
+streamed window raise by default — their full pre-image needs the deferred
+key probe (a Spark job, table/changelog.py scan_changes); opt into
+``.option("eqDeletes", "keys")`` to receive key-only delete events (the
+identity columns populated from the equality-delete file, payload columns
+NULL).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+FORMAT_NAME = "moonlink"
+CHANGE_TYPE_COL = "_change_type"
+CHANGE_LSN_COL = "_change_lsn"
+
+
+@dataclass
+class MoonlinkPartition(InputPartition):
+    """Self-contained read unit — everything an executor needs, no driver
+    state. ``kind``: 'data' (live rows of one file), 'dv-pre' (pre-image
+    rows of one file's newly deleted positions), 'eq-keys' (key-only
+    delete events from one equality-delete file)."""
+
+    kind: str
+    data_path: str | None
+    schema_json: str
+    name_to_id: dict | None
+    identity: list
+    dv_files: list = field(default_factory=list)  # [(path, fmt)]
+    eq_files: list = field(default_factory=list)  # [path, ...]
+    change: tuple | None = None  # (op, lsn) for cdc partitions
+
+
+# ------------------------------------------------------------ executor side
+
+
+def _norm(path: str) -> str:
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def _dv_positions(dv_files: list, target: str):
+    """Deleted positions for ``target`` across DV files — executor-side
+    analog of table/dv.py's expansion (same framing + crc checks)."""
+    import numpy as np
+
+    from moonlink_spark.table.dv import DV2, DV2C, _unframe
+    from moonlink_spark.table.stats import _open_footer
+
+    tgt = _norm(target)
+    out = []
+    for path, fmt in dv_files:
+        pf, _ = _open_footer(path)
+        t = pf.read()
+        if fmt in (DV2, DV2C):
+            fps = t.column("file_path").to_pylist()
+            bms = t.column("bitmap").to_pylist()
+            for fp, bm in zip(fps, bms):
+                if _norm(fp) != tgt:
+                    continue
+                bits = _unframe(bytes(bm), fp) if fmt == DV2C else bytes(bm)
+                arr = np.frombuffer(bits, dtype=np.uint8)
+                out.append(np.nonzero(np.unpackbits(arr, bitorder="little"))[0])
+        else:  # v1: (file_path, pos) rows
+            fps = t.column("file_path").to_pylist()
+            pos = t.column("pos").to_pylist()
+            out.append(
+                np.asarray(
+                    [p for fp, p in zip(fps, pos) if _norm(fp) == tgt],
+                    dtype=np.int64,
+                )
+            )
+    if not out:
+        return np.asarray([], dtype=np.int64)
+    return np.unique(np.concatenate([a.astype(np.int64) for a in out]))
+
+
+def _resolve_columns(file_table, schema: StructType, name_to_id: dict | None):
+    """File columns → target schema order with field-id/name resolution,
+    NULL fill for absent columns, and widening casts — the executor-side
+    mirror of table/scan.py's dual-branch read."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from moonlink_spark.table.fieldids import footer_field_id_map
+
+    target = to_arrow_schema(schema)
+    fmap = footer_field_id_map(file_table.schema)
+    # id-resolvable ONLY when footer ids agree with the table's map
+    # (foreign ids must fall back to names — table/stats.py rule)
+    by_id = None
+    if fmap is not None and name_to_id:
+        if all(name_to_id.get(n) == i for n, i in fmap.items()):
+            by_id = {i: n for n, i in fmap.items()}
+    n = file_table.num_rows
+    cols = []
+    for f in schema.fields:
+        src_name = None
+        if by_id is not None:
+            src_name = by_id.get((name_to_id or {}).get(f.name))
+        elif f.name in file_table.schema.names:
+            src_name = f.name
+        want = target.field(f.name).type
+        if src_name is None:
+            cols.append(pa.nulls(n, type=want))
+        else:
+            col = file_table.column(src_name)
+            cols.append(col.cast(want) if col.type != want else col)
+    return pa.table(cols, schema=pa.schema(target))
+
+
+def _eq_key_rows(eq_files: list, identity: list):
+    """Distinct identity-key tuples across equality-delete files."""
+    import pyarrow as pa
+
+    from moonlink_spark.table.stats import _open_footer
+
+    tables = []
+    for p in eq_files:
+        pf, _ = _open_footer(p)
+        tables.append(pf.read().select(identity))
+    return pa.concat_tables(tables).group_by(identity).aggregate([])
+
+
+def _read_partition(p: MoonlinkPartition):
+    """Yield Arrow RecordBatches for one partition."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from moonlink_spark.table.stats import _open_footer
+
+    schema = StructType.fromJson(json.loads(p.schema_json))
+    cdc_fields = [CHANGE_TYPE_COL, CHANGE_LSN_COL]
+    out_schema = schema
+    if p.change is not None:
+        out_schema = StructType(
+            [f for f in schema.fields if f.name not in cdc_fields]
+        )
+
+    if p.kind == "eq-keys":
+        keys = _eq_key_rows(p.eq_files, p.identity)
+        resolved = _resolve_columns(keys, out_schema, None)
+    else:
+        pf, _ = _open_footer(p.data_path)
+        t = pf.read()
+        pos = _dv_positions(p.dv_files, p.data_path) if p.dv_files else None
+        if p.kind == "dv-pre":
+            t = t.take(pa.array(pos if pos is not None else [], type=pa.int64()))
+        elif pos is not None and len(pos):
+            keep = np.ones(t.num_rows, dtype=bool)
+            keep[pos] = False
+            t = t.filter(pa.array(keep))
+        resolved = _resolve_columns(t, out_schema, p.name_to_id)
+        if p.kind == "data" and p.eq_files:
+            # strictly-older sequence rule applied at planning: only eq
+            # files newer than this data file reach the partition
+            keys = _eq_key_rows(p.eq_files, p.identity)
+            if keys.num_rows:
+                marker = "__ml_eq"
+                keys = keys.append_column(
+                    marker, pa.array([True] * keys.num_rows)
+                )
+                joined = resolved.join(
+                    keys, keys=p.identity, join_type="left outer",
+                    right_suffix="_r",
+                )
+                mask = pc.is_null(joined.column(marker))
+                resolved = joined.filter(mask).select(
+                    [f.name for f in out_schema.fields]
+                )
+
+    if p.change is not None:
+        op, lsn = p.change
+        n = resolved.num_rows
+        resolved = resolved.append_column(
+            CHANGE_TYPE_COL, pa.array([op] * n, type=pa.string())
+        ).append_column(CHANGE_LSN_COL, pa.array([lsn] * n, type=pa.int64()))
+    for b in resolved.to_batches(max_chunksize=65536):
+        yield b
+
+
+# -------------------------------------------------------------- driver side
+
+
+def _load(options):
+    from moonlink_spark.table.catalog import load_table
+
+    path = options.get("path")
+    if not path:
+        raise ValueError("moonlink datasource requires .load(<table location>)")
+    return load_table(path)
+
+
+def _schema_meta(table):
+    from moonlink_spark.schema import table_identity
+    from moonlink_spark.table.fieldids import schema_field_id_map
+
+    return (
+        json.dumps(table.schema.jsonValue()),
+        schema_field_id_map(table.schema),
+        table_identity(table),
+    )
+
+
+def _cdc_schema(schema: StructType) -> StructType:
+    return StructType(
+        list(schema.fields)
+        + [
+            StructField(CHANGE_TYPE_COL, StringType()),
+            StructField(CHANGE_LSN_COL, LongType()),
+        ]
+    )
+
+
+class MoonlinkBatchReader(DataSourceReader):
+    def __init__(self, options):
+        from moonlink_spark.table.format import DATA, DELETES, EQ_DELETES
+
+        t = _load(options)
+        snap_id = None
+        if options.get("snapshotid"):
+            snap_id = int(options["snapshotid"])
+        elif options.get("lsn"):
+            snap_id = t.snapshot_at_lsn(int(options["lsn"])).snapshot_id
+        elif options.get("ref"):
+            from moonlink_spark.table.refs import resolve_ref
+
+            snap_id = resolve_ref(t, options["ref"])
+        schema_json, name_to_id, identity = _schema_meta(t)
+        dv = [
+            (e.path, e.stats.get("format"))
+            for e in t.entries(snap_id, DELETES)
+        ]
+        eqs = [
+            (e.path, e.sequence_number) for e in t.entries(snap_id, EQ_DELETES)
+        ]
+        self._parts = [
+            MoonlinkPartition(
+                kind="data",
+                data_path=e.path,
+                schema_json=schema_json,
+                name_to_id=name_to_id,
+                identity=identity,
+                dv_files=dv,
+                eq_files=[p for p, seq in eqs if seq > e.sequence_number],
+            )
+            for e in t.entries(snap_id, DATA)
+        ]
+
+    def partitions(self):
+        return self._parts
+
+    def read(self, partition):
+        return _read_partition(partition)
+
+
+class MoonlinkStreamReader(DataSourceStreamReader):
+    """Changelog as a Structured Streaming source: offsets are commit LSNs;
+    batch (start, end] replays those commits' row events."""
+
+    def __init__(self, options):
+        self._options = options
+        t = _load(options)
+        self._location = t.location
+        self._schema_json, self._name_to_id, self._identity = _schema_meta(t)
+        self._eq_mode = options.get("eqdeletes", "error")
+
+    def _table(self):
+        from moonlink_spark.table.catalog import load_table
+
+        return load_table(self._location)
+
+    def initialOffset(self):
+        from moonlink_spark.table.changelog import MIN_CHANGELOG_LSN_PROP
+
+        t = self._table()
+        if self._options.get("startinglsn") is not None:
+            return {"lsn": int(self._options["startinglsn"])}
+        # earliest replayable position (above the expiry floor)
+        floor = int(t.md.properties.get(MIN_CHANGELOG_LSN_PROP, "0"))
+        return {"lsn": floor}
+
+    def latestOffset(self):
+        t = self._table()
+        return {"lsn": int(t.flush_lsn or 0)}
+
+    def partitions(self, start, end):
+        from moonlink_spark.table.changelog import (
+            _changed_snapshots,
+            _is_replace,
+        )
+        from moonlink_spark.table.format import DATA, DELETES, EQ_DELETES
+
+        t = self._table()
+        lo, hi = int(start["lsn"]), int(end["lsn"])
+        if hi <= lo:
+            return []
+        parts: list[MoonlinkPartition] = []
+        for s in _changed_snapshots(t, lo, hi):
+            op = s.summary.get("operation", "")
+            if _is_replace(op):
+                continue
+            lsn = int(s.summary["lsn"])
+            data = t.entries(s.snapshot_id, DATA)
+            added_data = [e for e in data if e.sequence_number == s.sequence_number]
+            added_dels = [
+                e
+                for e in t.entries(s.snapshot_id, DELETES)
+                if e.sequence_number == s.sequence_number
+            ]
+            added_eqs = [
+                e
+                for e in t.entries(s.snapshot_id, EQ_DELETES)
+                if e.sequence_number == s.sequence_number
+            ]
+            for e in added_data:
+                parts.append(
+                    MoonlinkPartition(
+                        kind="data",
+                        data_path=e.path,
+                        schema_json=self._schema_json,
+                        name_to_id=self._name_to_id,
+                        identity=self._identity,
+                        change=("insert", lsn),
+                    )
+                )
+            if added_dels:
+                dv = [(e.path, e.stats.get("format")) for e in added_dels]
+                # pre-image files: visible before this commit AND referenced
+                # by the new DVs; the reference check happens executor-side
+                # (empty take = empty partition), keeping planning pure
+                # metadata. Positions enter a DV exactly once (MERGE probes
+                # live rows only), so no anti-set is needed.
+                for e in data:
+                    if e.sequence_number < s.sequence_number:
+                        parts.append(
+                            MoonlinkPartition(
+                                kind="dv-pre",
+                                data_path=e.path,
+                                schema_json=self._schema_json,
+                                name_to_id=self._name_to_id,
+                                identity=self._identity,
+                                dv_files=dv,
+                                change=("delete", lsn),
+                            )
+                        )
+            if added_eqs:
+                if self._eq_mode != "keys":
+                    raise ValueError(
+                        "moonlink stream: window contains a lazy-MERGE "
+                        "equality-delete commit; full pre-images need "
+                        "scan_changes (Spark-side). Opt into key-only "
+                        'delete events with .option("eqDeletes", "keys").'
+                    )
+                parts.append(
+                    MoonlinkPartition(
+                        kind="eq-keys",
+                        data_path=None,
+                        schema_json=self._schema_json,
+                        name_to_id=self._name_to_id,
+                        identity=self._identity,
+                        eq_files=[e.path for e in added_eqs],
+                        change=("delete", lsn),
+                    )
+                )
+        return parts
+
+    def read(self, partition):
+        return _read_partition(partition)
+
+    def commit(self, end):
+        pass
+
+
+class MoonlinkDataSource(DataSource):
+    """``spark.dataSource.register(MoonlinkDataSource)`` then
+    ``spark.read.format("moonlink").load(location)`` /
+    ``spark.readStream.format("moonlink").option("cdc", "true")
+    .load(location)``."""
+
+    @classmethod
+    def name(cls):
+        return FORMAT_NAME
+
+    def schema(self):
+        t = _load(self.options)
+        base = t.schema
+        if self.options.get("cdc") == "true":
+            return _cdc_schema(base)
+        return base
+
+    def reader(self, schema):
+        if self.options.get("cdc") == "true":
+            raise ValueError(
+                "cdc batch reads: use table.changelog.scan_changes (LSN "
+                "window) — the batch datasource serves snapshot content"
+            )
+        return MoonlinkBatchReader(self.options)
+
+    def streamReader(self, schema):
+        if self.options.get("cdc") != "true":
+            raise ValueError(
+                'moonlink readStream requires .option("cdc", "true") — '
+                "streams are row-event changelogs (_change_type/_change_lsn)"
+            )
+        return MoonlinkStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the 'moonlink' format on this session."""
+    spark.dataSource.register(MoonlinkDataSource)

@@ -1,0 +1,224 @@
+"""Python DataSource: spark.read / spark.readStream format('moonlink')."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.datasource import register
+from moonlink_spark.operators.merge import merge_cdc_batch
+from moonlink_spark.schema import IMAGES_SCHEMA
+from moonlink_spark.table.catalog import create_table
+from moonlink_spark.table.scan import scan, scan_at_lsn
+from moonlink_spark.table.writer import BUCKETS_PROP, write_bucketed_data_files
+
+COLS = ["image_id", "caption", "phash", "w"]
+
+
+def _rows(spark, n, tag="a"):
+    return spark.range(n).select(
+        F.format_string("id%05d", F.col("id")).alias("image_id"),
+        F.encode(F.format_string("b%d", F.col("id")), "utf-8").alias("bytes"),
+        (F.col("id") % 100).cast("int").alias("w"),
+        F.lit(16).cast("int").alias("h"),
+        F.lit("png").alias("fmt"),
+        F.format_string(tag + " %d", F.col("id")).alias("caption"),
+        (F.col("id") % 50).cast("long").alias("phash"),
+    )
+
+
+def _cdc(spark, n, lo, hi, dlo, dhi, tag):
+    """Upserts for ids [lo,hi), deletes for [dlo,dhi)."""
+    u = _rows(spark, n, tag).filter(
+        (F.col("image_id") >= f"id{lo:05d}") & (F.col("image_id") < f"id{hi:05d}")
+    ).select(F.lit("U").alias("op"), F.lit(1).cast("long").alias("lsn"), "*")
+    d = _rows(spark, n).filter(
+        (F.col("image_id") >= f"id{dlo:05d}") & (F.col("image_id") < f"id{dhi:05d}")
+    ).select(
+        F.lit("D").alias("op"),
+        F.lit(1).cast("long").alias("lsn"),
+        "image_id",
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+        F.lit(None).cast("string").alias("fmt"),
+        F.lit(None).cast("string").alias("caption"),
+        F.lit(None).cast("long").alias("phash"),
+    )
+    return u.unionByName(d)
+
+
+@pytest.fixture()
+def dstable(spark, tmp_path):
+    """Bucketed table: append 600 rows, one MERGE (updates 100-150,
+    deletes 300-350) => live DVs in the current snapshot."""
+    register(spark)
+    t = create_table(str(tmp_path / "ds"), IMAGES_SCHEMA,
+                     properties={BUCKETS_PROP: "4"})
+    entries = write_bucketed_data_files(
+        spark, _rows(spark, 600), t.new_data_dir(), "image_id", 4
+    )
+    t.commit("append", added=entries, lsn=1)
+    merge_cdc_batch(spark, t, _cdc(spark, 600, 100, 150, 300, 350, "upd"), lsn=2)
+    return t
+
+
+def _pdf(df):
+    return (
+        df.select(*COLS).toPandas().sort_values("image_id").reset_index(drop=True)
+    )
+
+
+def test_batch_read_matches_scan(spark, dstable):
+    got = _pdf(spark.read.format("moonlink").load(dstable.location))
+    exp = _pdf(scan(spark, dstable))
+    assert len(exp) == 550  # 600 - 50 deleted
+    assert got.equals(exp)
+
+
+def test_batch_read_time_travel(spark, dstable):
+    got = _pdf(
+        spark.read.format("moonlink").option("lsn", "1").load(dstable.location)
+    )
+    exp = _pdf(scan_at_lsn(spark, dstable, 1))
+    assert len(exp) == 600
+    assert got.equals(exp)
+
+
+def test_batch_read_applies_eq_deletes(spark, tmp_path):
+    register(spark)
+    t = create_table(str(tmp_path / "eq"), IMAGES_SCHEMA,
+                     properties={BUCKETS_PROP: "4"})
+    entries = write_bucketed_data_files(
+        spark, _rows(spark, 400), t.new_data_dir(), "image_id", 4
+    )
+    t.commit("append", added=entries, lsn=1)
+    merge_cdc_batch(
+        spark, t, _cdc(spark, 400, 50, 80, 200, 240, "nv"), lsn=2, mode="lazy"
+    )
+    got = _pdf(spark.read.format("moonlink").load(t.location))
+    exp = _pdf(scan(spark, t))
+    # eq keys cover upserts+deletes (70); upserted rows re-land (30)
+    assert len(exp) == 400 - 70 + 30
+    assert got.equals(exp)
+
+
+def test_batch_read_evolved_schema(spark, tmp_path):
+    from pyspark.sql.types import IntegerType, StructField
+
+    from moonlink_spark.operators.evolve import add_columns, drop_columns
+
+    register(spark)
+    t = create_table(str(tmp_path / "ev"), IMAGES_SCHEMA)
+    from moonlink_spark.table.writer import write_data_files
+
+    t.commit(
+        "append",
+        added=write_data_files(
+            spark, _rows(spark, 100), t.new_data_dir(),
+            field_id_schema=t.schema,
+        ),
+        lsn=1,
+    )
+    add_columns(t, [StructField("rating", IntegerType(), True)])
+    drop_columns(t, ["fmt"])
+    got = (
+        spark.read.format("moonlink").load(t.location)
+        .toPandas().sort_values("image_id").reset_index(drop=True)
+    )
+    exp = (
+        scan(spark, t).toPandas().sort_values("image_id").reset_index(drop=True)
+    )
+    assert list(got.columns) == list(exp.columns)
+    assert got["rating"].isna().all()
+    assert got.equals(exp)
+
+
+def test_stream_eq_delete_commits(spark, tmp_path):
+    """Lazy-MERGE windows: loud by default, key-only events on opt-in."""
+    register(spark)
+    t = create_table(str(tmp_path / "eqs"), IMAGES_SCHEMA,
+                     properties={BUCKETS_PROP: "4"})
+    entries = write_bucketed_data_files(
+        spark, _rows(spark, 200), t.new_data_dir(), "image_id", 4
+    )
+    t.commit("append", added=entries, lsn=1)
+    merge_cdc_batch(
+        spark, t, _cdc(spark, 200, 10, 20, 100, 130, "nv"), lsn=2, mode="lazy"
+    )
+
+    def _run(name, **opts):
+        out = str(tmp_path / name)
+        r = spark.readStream.format("moonlink").option("cdc", "true")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load(t.location)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / (name + "_ck")))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out).toPandas()
+
+    with pytest.raises(Exception, match="eqDeletes"):
+        _run("strict")
+
+    ev = _run("keys", eqDeletes="keys")
+    dels = ev[ev["_change_type"] == "delete"]
+    assert len(dels) == 40  # 10 upsert keys + 30 delete keys
+    assert dels["caption"].isna().all()  # key-only pre-images
+    assert dels["image_id"].notna().all()
+    assert len(ev[ev["_change_type"] == "insert"]) == 200 + 10
+
+
+def test_stream_requires_cdc_option(spark, dstable, tmp_path):
+    q = (
+        spark.readStream.format("moonlink")
+        .load(dstable.location)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck0"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="cdc"):
+        q.awaitTermination(120)
+
+
+def test_stream_cdc_events(spark, dstable, tmp_path):
+    out = str(tmp_path / "events")
+
+    def _run():
+        q = (
+            spark.readStream.format("moonlink")
+            .option("cdc", "true")
+            .load(dstable.location)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _run()
+    ev = spark.read.parquet(out).toPandas()
+    ins1 = ev[(ev["_change_lsn"] == 1) & (ev["_change_type"] == "insert")]
+    ins2 = ev[(ev["_change_lsn"] == 2) & (ev["_change_type"] == "insert")]
+    del2 = ev[(ev["_change_lsn"] == 2) & (ev["_change_type"] == "delete")]
+    assert len(ins1) == 600
+    assert len(ins2) == 50  # upserts 100-150
+    assert len(del2) == 100  # 50 update pre-images + 50 deletes
+    # delete pre-images carry the pre-update payload
+    assert set(del2["caption"].str.split(" ").str[0]) == {"a"}
+
+    # incremental restart: a third commit streams alone from the checkpoint
+    merge_cdc_batch(
+        spark, dstable, _cdc(spark, 600, 0, 10, 580, 590, "v3"), lsn=3
+    )
+    _run()
+    all_ev = spark.read.parquet(out).toPandas()
+    ev2 = all_ev[all_ev["_change_lsn"] == 3]
+    assert len(all_ev) == len(ev) + len(ev2)  # no replay of lsn<=2
+    assert len(ev2[ev2["_change_type"] == "insert"]) == 10
+    assert len(ev2[ev2["_change_type"] == "delete"]) == 20
