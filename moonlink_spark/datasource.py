@@ -47,9 +47,13 @@ from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -416,6 +420,182 @@ class MoonlinkStreamReader(DataSourceStreamReader):
         pass
 
 
+# -------------------------------------------------------------- write side
+
+
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    entries: list  # FileEntry dicts for the files this task wrote
+
+
+def _write_task(iterator, out_dir: str, schema_json: str, name_to_id: dict | None):
+    """Executor: arrow batches → ONE parquet data file (field-id stamped)
+    under ``out_dir``; returns the manifest entry. Runs entirely in the
+    task — no driver involvement until commit."""
+    import os
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from moonlink_spark.table.fieldids import ARROW_FIELD_ID_KEY
+    from moonlink_spark.table.stats import _footer_stats
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    target = to_arrow_schema(schema)
+    if name_to_id:
+        target = pa.schema(
+            [
+                f.with_metadata(
+                    {ARROW_FIELD_ID_KEY: str(name_to_id[f.name]).encode()}
+                )
+                for f in target
+            ]
+        )
+    def _align(b):
+        cols = []
+        for f in target:
+            i = b.schema.get_field_index(f.name)
+            if i < 0:
+                raise ValueError(
+                    f"moonlink write: input is missing table column {f.name!r}"
+                )
+            c = b.column(i)
+            cols.append(c.cast(f.type) if c.type != f.type else c)
+        return pa.RecordBatch.from_arrays(cols, schema=target)
+
+    batches = [_align(b) for b in iterator]
+    if not batches:
+        return _WriteMessage(entries=[])
+    path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet")
+    # zstd to match the engine's image-profile writer (session.py): payload
+    # bytes are already codec-compressed, zstd's incompressible fast path
+    # keeps them raw while text columns still shrink
+    pq.write_table(
+        pa.Table.from_batches(batches, schema=target), path, compression="zstd"
+    )
+    expected = dict(name_to_id) if name_to_id else None
+    pdf = _footer_stats(pd.Series([path]), expected)
+    r = pdf.iloc[0]
+    return _WriteMessage(
+        entries=[
+            {
+                "content": "data",
+                "path": path,
+                "record_count": int(r["record_count"]),
+                "file_size_bytes": int(r["file_size_bytes"]),
+                "sequence_number": -1,
+                "stats": json.loads(r["stats_json"]),
+                "bucket": None,
+            }
+        ]
+    )
+
+
+def _entries_from(messages):
+    from moonlink_spark.table.format import FileEntry
+
+    out = []
+    for m in messages:
+        for d in m.entries if m is not None else []:
+            out.append(FileEntry(**d))
+    return out
+
+
+def _delete_files(messages):
+    import os
+
+    for m in messages:
+        for d in m.entries if m is not None else []:
+            try:
+                os.remove(d["path"])
+            except OSError:
+                pass
+
+
+#: snapshot-summary key marking a streaming sink batch — replayed batch ids
+#: are detected here and skipped (exactly-once under Spark's checkpoint
+#: re-delivery; same role as MERGE's LSN idempotence, operators/merge.py)
+STREAM_BATCH_PROP = "stream-batch"
+
+
+class MoonlinkBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("moonlink").mode("append")`` — append-only (the
+    engine's mutation path is MERGE; overwrite semantics live there and in
+    maintenance, not in a blind writer)."""
+
+    def __init__(self, options, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "moonlink write supports mode('append') only — updates/"
+                "overwrites go through merge_cdc_batch (CDC semantics)"
+            )
+        t = _load(options)
+        self._location = t.location
+        self._out_dir = t.new_data_dir()
+        self._schema_json, self._name_to_id, _ = _schema_meta(t)
+        self._lsn = int(options["lsn"]) if options.get("lsn") else None
+
+    def write(self, iterator):
+        return _write_task(
+            iterator, self._out_dir, self._schema_json, self._name_to_id
+        )
+
+    def commit(self, messages):
+        from moonlink_spark.table.catalog import load_table
+
+        t = load_table(self._location)
+        entries = _entries_from(messages)
+        lsn = self._lsn if self._lsn is not None else (t.flush_lsn or 0) + 1
+        if entries:
+            t.commit("append", added=entries, lsn=lsn)
+
+    def abort(self, messages):
+        _delete_files(messages)
+
+
+class MoonlinkStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("moonlink")`` — exactly-once append sink: each
+    micro-batch is one commit whose summary records the batch id; on
+    checkpoint-recovery re-delivery the marker is found and the replayed
+    files are dropped instead of committed."""
+
+    def __init__(self, options):
+        t = _load(options)
+        self._location = t.location
+        self._out_dir = t.new_data_dir()
+        self._schema_json, self._name_to_id, _ = _schema_meta(t)
+        self._stream_id = options.get("streamid", "moonlink-stream")
+
+    def write(self, iterator):
+        return _write_task(
+            iterator, self._out_dir, self._schema_json, self._name_to_id
+        )
+
+    def commit(self, messages, batchId):
+        from moonlink_spark.table.catalog import load_table
+
+        t = load_table(self._location)
+        marker = f"{self._stream_id}:{batchId}"
+        for s in t.md.snapshots:
+            if s.summary.get(STREAM_BATCH_PROP) == marker:
+                _delete_files(messages)  # replayed batch — already applied
+                return
+        entries = _entries_from(messages)
+        if entries:
+            t.commit(
+                "append",
+                added=entries,
+                lsn=(t.flush_lsn or 0) + 1,
+                summary_extra={STREAM_BATCH_PROP: marker},
+            )
+
+    def abort(self, messages, batchId):
+        _delete_files(messages)
+
+
 class MoonlinkDataSource(DataSource):
     """``spark.dataSource.register(MoonlinkDataSource)`` then
     ``spark.read.format("moonlink").load(location)`` /
@@ -448,6 +628,12 @@ class MoonlinkDataSource(DataSource):
                 "streams are row-event changelogs (_change_type/_change_lsn)"
             )
         return MoonlinkStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return MoonlinkBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return MoonlinkStreamWriter(self.options)
 
 
 def register(spark) -> None:

@@ -172,6 +172,58 @@ def test_stream_eq_delete_commits(spark, tmp_path):
     assert len(ev[ev["_change_type"] == "insert"]) == 200 + 10
 
 
+def test_batch_write_append(spark, tmp_path):
+    register(spark)
+    t = create_table(str(tmp_path / "w"), IMAGES_SCHEMA)
+    _rows(spark, 300).write.format("moonlink").mode("append").save(t.location)
+    t.refresh()
+    assert t.flush_lsn == 1
+    got = _pdf(scan(spark, t))
+    assert len(got) == 300
+    # field ids stamped: files take the id-resolved branch
+    from moonlink_spark.table.fieldids import NO_FIELD_IDS_STAT
+
+    assert all(NO_FIELD_IDS_STAT not in e.stats for e in t.data_entries())
+    # round-trip through the read side too
+    assert _pdf(spark.read.format("moonlink").load(t.location)).equals(got)
+
+    with pytest.raises(Exception, match="append"):
+        _rows(spark, 10).write.format("moonlink").mode("overwrite").save(
+            t.location
+        )
+
+
+def test_stream_write_exactly_once(spark, tmp_path):
+    register(spark)
+    t = create_table(str(tmp_path / "sw"), IMAGES_SCHEMA)
+    src = str(tmp_path / "src")
+    _rows(spark, 100, "s1").write.parquet(src)
+
+    def _run():
+        q = (
+            spark.readStream.schema(_rows(spark, 1).schema)
+            .parquet(src)
+            .writeStream.format("moonlink")
+            .option("path", t.location)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _run()
+    assert scan(spark, t.refresh()).count() == 100
+    # no new files => re-run commits nothing (and no replay duplicates)
+    _run()
+    assert scan(spark, t.refresh()).count() == 100
+    # second source file arrives => exactly its rows land
+    _rows(spark, 40, "s2").withColumn(
+        "image_id", F.concat(F.lit("x"), F.col("image_id"))
+    ).write.mode("append").parquet(src)
+    _run()
+    assert scan(spark, t.refresh()).count() == 140
+
+
 def test_stream_requires_cdc_option(spark, dstable, tmp_path):
     q = (
         spark.readStream.format("moonlink")
