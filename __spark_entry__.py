@@ -606,6 +606,23 @@ def q_engine_rebucket_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan(spark, t).select(*_LIFECYCLE_COLS)
 
 
+def q_engine_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e through the PySpark Python DataSource integration surface
+    (moonlink_spark/datasource.py): ``spark.read.format("moonlink")`` over
+    the post-MERGE lifecycle fork — partitions planned from snapshot
+    metadata only, executor-side pyarrow reads applying the packed-bitmap
+    deletion vectors per file. Must equal the engine scan's closed form,
+    proving the out-of-library read path (DV application, column
+    resolution) byte-matches table.scan."""
+    from moonlink_spark.datasource import register
+
+    t = _lifecycle_table(spark, sf_dir)
+    register(spark)
+    return (
+        spark.read.format("moonlink").load(t.location).select(*_LIFECYCLE_COLS)
+    )
+
+
 def q_engine_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine e2e: ANALYZE over the post-MERGE snapshot — ONE distributed
     aggregation (HLL++ NDV + exact nulls/sizes, operators/analyze.py)
@@ -1557,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_scoped_compact": q_engine_scoped_compact,
         "engine_rebucket_scan": q_engine_rebucket_scan,
         "engine_analyze_stats": q_engine_analyze_stats,
+        "engine_datasource_scan": q_engine_datasource_scan,
         "engine_cluster_scan": q_engine_cluster_scan,
         "engine_timetravel": q_engine_timetravel,
         "engine_changelog": q_engine_changelog,
@@ -1951,6 +1969,18 @@ def oracle_sql() -> dict[str, str]:
                    OR (k % 10 = 5 AND k % 3 = 0)
                    OR (k % 10 = 7 AND k % 3 = 1)
             ) WHERE image_id BETWEEN '2' AND '5'
+        """,
+        # datasource read path == engine scan closed form
+        "engine_datasource_scan": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
+                        WHEN k % 10 < 3 AND k % 7 = 4 THEN c || ' v3'
+                        ELSE c END AS caption,
+                   ph AS phash
+            FROM base
+            WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 5))
+               OR (k % 10 = 5 AND k % 3 = 0)
+               OR (k % 10 = 7 AND k % 3 = 1)
         """,
         # ANALYZE: exact fields (row count / nulls / byte sizes) of the
         # merged closed form; NDV is sketch-approximate and pytest-pinned
