@@ -94,6 +94,10 @@ AUTO_DEFAULTS = {
     # snapshot expiry: 0 disables auto-expiry
     "moonlink.expire.retain-last": "0",
     "moonlink.expire.older-than-ms": "",
+    # column-statistics refresh (operators/analyze.py): re-ANALYZE when the
+    # stats snapshot trails the head by >= this many data-changing commits;
+    # 0 disables auto-analyze
+    "moonlink.analyze.max-snapshot-lag": "0",
 }
 
 
@@ -112,6 +116,7 @@ class AutoMaintenanceReport:
     rewrite_deletes: object | None = None
     manifest_rewrite: object | None = None
     expire: object | None = None
+    analyze: object | None = None
 
 
 def auto_optimize(
@@ -185,5 +190,20 @@ def auto_optimize(
         if not ex.skipped:
             report.triggered.append("expire")
             report.expire = ex
+
+    max_lag = _prop(table, "moonlink.analyze.max-snapshot-lag", int)
+    if max_lag and max_lag > 0:
+        from moonlink_spark.operators.analyze import STATS_SNAPSHOT_PROP, analyze_table
+
+        table.refresh()
+        head = table.head_snapshot()
+        if head is not None:
+            at = int(table.md.properties.get(STATS_SNAPSHOT_PROP, "-1"))
+            # lag counts snapshots newer than the analyzed one — replace
+            # commits included (compaction changes file-level stats too)
+            lag = sum(1 for s in table.md.snapshots if s.snapshot_id > at)
+            if lag >= max_lag:
+                report.analyze = analyze_table(spark, table)
+                report.triggered.append("analyze")
 
     return report

@@ -109,3 +109,37 @@ def test_manifest_count_and_expiry_triggers(spark, tmp_path):
     assert len(t.md.current_snapshot().manifests) < 3
     assert len(t.md.snapshots) <= max(2, n_snaps)
     assert scan(spark, t).count() == rows
+
+
+def test_stale_stats_trigger_analyze(spark, small_file_table):
+    from moonlink_spark.operators.analyze import (
+        STATS_SNAPSHOT_PROP,
+        analyze_table,
+        table_stats,
+    )
+
+    t = small_file_table
+    # disabled by default
+    report = auto_optimize(spark, t)
+    assert "analyze" not in report.triggered
+
+    t.set_properties({"moonlink.analyze.max-snapshot-lag": "2"})
+    analyze_table(spark, t)
+    at0 = int(t.md.properties[STATS_SNAPSHOT_PROP])
+    # one new commit: lag 1 < 2 -> no re-analyze
+    df = generate_images(spark, 50, partitions=2)
+    t.commit("append", added=write_data_files(spark, df, t.new_data_dir()),
+             lsn=20)
+    report = auto_optimize(spark, t)
+    assert "analyze" not in report.triggered
+
+    # second commit: lag reaches the threshold -> stats refresh
+    df2 = generate_images(spark, 60, partitions=2)
+    t.commit("append", added=write_data_files(spark, df2, t.new_data_dir()),
+             lsn=21)
+    report = auto_optimize(spark, t)
+    assert "analyze" in report.triggered
+    t.refresh()
+    assert int(t.md.properties[STATS_SNAPSHOT_PROP]) > at0
+    _, rows, _cols = table_stats(t)
+    assert rows == scan(spark, t).count()
