@@ -260,6 +260,27 @@ def _cdc_schema(schema: StructType) -> StructType:
     )
 
 
+def _prune_open(entries, col: str, lo, hi):
+    """prune_entries with open-ended bounds and cross-type safety: a stat
+    incomparable with the filter value (e.g. ISO-string date bounds vs a
+    datetime.date filter) keeps the file — conservative, never wrong."""
+    out = []
+    for e in entries:
+        st = e.stats.get(col)
+        if not st or st.get("min") is None or st.get("max") is None:
+            out.append(e)
+            continue
+        try:
+            if lo is not None and st["max"] < lo:
+                continue
+            if hi is not None and st["min"] > hi:
+                continue
+        except TypeError:
+            pass
+        out.append(e)
+    return out
+
+
 class MoonlinkBatchReader(DataSourceReader):
     def __init__(self, options):
         from moonlink_spark.table.format import DATA, DELETES, EQ_DELETES
@@ -282,7 +303,55 @@ class MoonlinkBatchReader(DataSourceReader):
         eqs = [
             (e.path, e.sequence_number) for e in t.entries(snap_id, EQ_DELETES)
         ]
-        self._parts = [
+        self._meta = (schema_json, name_to_id, identity, dv, eqs)
+        self._entries = t.entries(snap_id, DATA)
+        self._bounds: dict[str, list] = {}
+
+    def pushFilters(self, filters):
+        """Fold comparison filters into per-column [lo, hi] intervals used
+        for manifest-stat FILE pruning (the same bounds scan_range prunes
+        with — struct leaves arrive as dotted paths). Every filter is
+        returned to Spark: pruning is an optimization, never a filter, so
+        files lacking bounds and residual rows stay correct."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            col = ".".join(getattr(f, "attribute", ()) or ())
+            if not col:
+                continue
+            b = self._bounds.setdefault(col, [None, None])
+            if isinstance(f, EqualTo):
+                lo = hi = f.value
+            elif isinstance(f, In):
+                vals = [v for v in f.value if v is not None]
+                if not vals:
+                    continue
+                lo, hi = min(vals), max(vals)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo, hi = f.value, None
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                lo, hi = None, f.value
+            else:
+                continue
+            if lo is not None and (b[0] is None or lo > b[0]):
+                b[0] = lo
+            if hi is not None and (b[1] is None or hi < b[1]):
+                b[1] = hi
+        return filters
+
+    def partitions(self):
+        schema_json, name_to_id, identity, dv, eqs = self._meta
+        entries = self._entries
+        for col, (lo, hi) in self._bounds.items():
+            entries = _prune_open(entries, col, lo, hi)
+        return [
             MoonlinkPartition(
                 kind="data",
                 data_path=e.path,
@@ -292,11 +361,8 @@ class MoonlinkBatchReader(DataSourceReader):
                 dv_files=dv,
                 eq_files=[p for p, seq in eqs if seq > e.sequence_number],
             )
-            for e in t.entries(snap_id, DATA)
+            for e in entries
         ]
-
-    def partitions(self):
-        return self._parts
 
     def read(self, partition):
         return _read_partition(partition)

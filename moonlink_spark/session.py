@@ -55,6 +55,10 @@ def get_spark(
         # and scans resolve by id. Set here, at construction, so scan() never
         # has to mutate a running session's conf mid-query.
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
+        # let the Python DataSource (datasource.py) see comparison filters
+        # for manifest-stat file pruning (all filters are handed back, so
+        # Spark still applies them — pruning only)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # µs-precision timestamps (reference semantics: Timestamp(µs, tz)
         # canonicalized to UTC, moonlink_type.rs:9) — also the only parquet
         # timestamp encoding whose min/max footer stats pyarrow can fold

@@ -172,6 +172,52 @@ def test_stream_eq_delete_commits(spark, tmp_path):
     assert len(ev[ev["_change_type"] == "insert"]) == 200 + 10
 
 
+def test_batch_filter_pushdown_prunes_files(spark, tmp_path):
+    """Comparison filters prune partitions via manifest stats; results
+    unchanged (Spark re-applies every filter)."""
+    from moonlink_spark.datasource import MoonlinkBatchReader
+    from moonlink_spark.table.writer import write_data_files
+
+    register(spark)
+    t = create_table(str(tmp_path / "fp"), IMAGES_SCHEMA)
+    entries = write_data_files(
+        spark, _rows(spark, 800), t.new_data_dir(),
+        num_files=8, range_cols=["image_id"],
+    )
+    t.commit("append", added=entries, lsn=1)
+
+    # planner-level: bounds shrink the partition list
+    r = MoonlinkBatchReader({"path": t.location})
+    assert len(r.partitions()) == 8
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    returned = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("image_id",), "id00100"),
+                LessThan(("image_id",), "id00200"),
+            ]
+        )
+    )
+    assert len(returned) == 2  # everything handed back to Spark
+    pruned = r.partitions()
+    assert 0 < len(pruned) < 8
+
+    # end-to-end: same rows as the engine scan with the same predicate
+    df = (
+        spark.read.format("moonlink")
+        .load(t.location)
+        .filter((F.col("image_id") >= "id00100") & (F.col("image_id") < "id00200"))
+    )
+    assert df.count() == 100
+    exp = _pdf(
+        scan(spark, t).filter(
+            (F.col("image_id") >= "id00100") & (F.col("image_id") < "id00200")
+        )
+    )
+    assert _pdf(df).equals(exp)
+
+
 def test_batch_write_append(spark, tmp_path):
     register(spark)
     t = create_table(str(tmp_path / "w"), IMAGES_SCHEMA)
