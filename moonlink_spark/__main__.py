@@ -199,6 +199,38 @@ def cmd_orphans(args) -> int:
     return 0
 
 
+def cmd_optimize_all(args) -> int:
+    from moonlink_spark.operators.maintenance import (
+        catalog_tables,
+        optimize_all,
+        store_tables,
+    )
+
+    spark = _spark(args)
+    if args.catalog:
+        from moonlink_spark.table.namespace import FileCatalog
+
+        feed = catalog_tables(FileCatalog(args.catalog))
+    else:
+        from moonlink_spark.metadata_store import MetadataStore
+
+        feed = store_tables(MetadataStore(args.store))
+    results = optimize_all(spark, feed)
+    print(
+        json.dumps(
+            [
+                {
+                    "table": r.name,
+                    "triggered": r.report.triggered if r.report else None,
+                    "error": r.error,
+                }
+                for r in results
+            ]
+        )
+    )
+    return 0
+
+
 def cmd_recover(args) -> int:
     from moonlink_spark.metadata_store import MetadataStore, recover_all_tables
 
@@ -265,6 +297,12 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("orphans")
     s.add_argument("location"); s.add_argument("--apply", action="store_true")
     s.add_argument("--grace-ms", type=int, default=0); s.set_defaults(fn=cmd_orphans)
+
+    s = sub.add_parser("optimize-all")
+    g = s.add_mutually_exclusive_group(required=True)
+    g.add_argument("--catalog")
+    g.add_argument("--store")
+    s.set_defaults(fn=cmd_optimize_all)
 
     s = sub.add_parser("recover")
     s.add_argument("--store", required=True); s.set_defaults(fn=cmd_recover)

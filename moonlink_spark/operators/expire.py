@@ -68,6 +68,28 @@ def clean_metadata_versions(table: Table, keep_last: int | None = None) -> int:
     return deleted
 
 
+def clean_stale_stats(table: Table) -> int:
+    """Delete ``stats-*.puffin`` statistics files not referenced by the
+    current ``statistics.path`` property. analyze_table eagerly supersedes
+    its predecessor, so garbage only exists after a crash between the
+    puffin write and the property CAS (or between CAS and the eager
+    delete) — this sweep is the backstop, run inside snapshot expiry like
+    the metadata-version GC."""
+    from moonlink_spark.operators.analyze import STATS_PATH_PROP
+
+    table.refresh()
+    current = table.md.properties.get(STATS_PATH_PROP)
+    import os as _os
+
+    acc = accessor_for(table.metadata_dir)
+    deleted = 0
+    for p in acc.list(table.metadata_dir, ".puffin"):
+        if _os.path.basename(p).startswith("stats-") and p != current:
+            acc.delete(p)
+            deleted += 1
+    return deleted
+
+
 def expire_snapshots(
     table: Table, retain_last: int = 2, older_than_ms: int | None = None
 ) -> ExpireResult:
@@ -186,6 +208,7 @@ def expire_snapshots(
     for p in drop_files | drop_manifests | drop_snaps:
         accessor_for(p).delete(p)
     n_md = clean_metadata_versions(table)
+    clean_stale_stats(table)
     return ExpireResult(
         len(expired),
         len(drop_files),

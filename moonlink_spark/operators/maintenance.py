@@ -191,6 +191,66 @@ def auto_optimize(
             report.triggered.append("expire")
             report.expire = ex
 
+    _maybe_auto_analyze(spark, table, report)
+
+    return report
+
+
+@dataclass
+class FleetTableResult:
+    name: str
+    report: AutoMaintenanceReport | None = None
+    error: str | None = None
+
+
+def optimize_all(spark: SparkSession, tables) -> list[FleetTableResult]:
+    """One maintenance tick across a fleet of tables — the scheduler loop
+    moonlink runs per-table inside its event loop, as a batch sweep.
+
+    ``tables`` is an iterable of (name, Table) — or (name, zero-arg loader)
+    so even table LOADING failures stay isolated. Each table gets one
+    idempotent ``auto_optimize`` call under per-table fault isolation: a
+    broken table is reported, not raised, so one bad table never blocks
+    the rest (the recovery_utils.rs:118-150 discipline). Scale note: the
+    sweep is sequential by design — each auto_optimize already
+    parallelizes its Spark work across the cluster, and maintenance
+    thresholds make untouched tables O(metadata) no-ops, so a tick over
+    thousands of tables is dominated by the few that need work.
+    """
+    out: list[FleetTableResult] = []
+    for name, t in tables:
+        try:
+            if callable(t):
+                t = t()
+            out.append(FleetTableResult(name, report=auto_optimize(spark, t)))
+        except Exception as e:  # noqa: BLE001 — per-table fault isolation
+            out.append(FleetTableResult(name, error=str(e)))
+    return out
+
+
+def catalog_tables(catalog):
+    """(name, loader) pairs for every table in a FileCatalog — feed for
+    ``optimize_all`` (lazy load keeps broken tables isolated)."""
+    for ns in catalog.list_namespaces():
+        for name in catalog.list_tables(ns):
+            yield (
+                f"{ns}.{name}",
+                lambda ns=ns, name=name: catalog.load_table(ns, name),
+            )
+
+
+def store_tables(store):
+    """(name, Table) pairs for every REACHABLE table in a MetadataStore
+    registry (broken entries are skipped here; recover_all_tables reports
+    them)."""
+    from moonlink_spark.metadata_store import recover_all_tables
+
+    for r in recover_all_tables(store):
+        if r.table is not None:
+            yield f"{r.entry.database}.{r.entry.table}", r.table
+
+
+def _maybe_auto_analyze(spark, table, report):
     max_lag = _prop(table, "moonlink.analyze.max-snapshot-lag", int)
     if max_lag and max_lag > 0:
         from moonlink_spark.operators.analyze import STATS_SNAPSHOT_PROP, analyze_table

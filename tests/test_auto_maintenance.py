@@ -143,3 +143,73 @@ def test_stale_stats_trigger_analyze(spark, small_file_table):
     assert int(t.md.properties[STATS_SNAPSHOT_PROP]) > at0
     _, rows, _cols = table_stats(t)
     assert rows == scan(spark, t).count()
+
+
+def test_optimize_all_fleet_sweep(spark, tmp_path):
+    """One tick over a catalog: fragmented table compacts, clean table
+    no-ops, a broken registration is reported, not raised."""
+    from moonlink_spark.operators.maintenance import catalog_tables, optimize_all
+    from moonlink_spark.table.namespace import FileCatalog
+
+    cat = FileCatalog(str(tmp_path / "cat"))
+    cat.create_namespace("db")
+    frag = cat.create_table("db", "frag", IMAGES_SCHEMA)
+    df = generate_images(spark, 400, partitions=4)
+    frag.commit(
+        "append",
+        added=write_data_files(spark, df, frag.new_data_dir(),
+                               max_records_per_file=20),
+        lsn=1,
+    )
+    clean = cat.create_table("db", "clean", IMAGES_SCHEMA)
+    clean.commit(
+        "append",
+        added=write_data_files(
+            spark, generate_images(spark, 50, partitions=1), clean.new_data_dir()
+        ),
+        lsn=1,
+    )
+    import glob
+    import os
+
+    broken = cat.create_table("db", "broken", IMAGES_SCHEMA)
+    # still listed (version hint intact) but its metadata roots are gone
+    for p in glob.glob(os.path.join(broken.metadata_dir, "v*.metadata.json")):
+        os.remove(p)
+
+    results = {r.name: r for r in optimize_all(spark, catalog_tables(cat))}
+    assert "compact" in results["db.frag"].report.triggered
+    assert results["db.clean"].report.triggered == []
+    assert results["db.broken"].error is not None
+    assert results["db.broken"].report is None
+    # content intact after the sweep
+    frag.refresh()
+    assert scan(spark, frag).count() == 400
+
+
+def test_expiry_sweeps_orphaned_stats_files(spark, small_file_table):
+    import os
+
+    from moonlink_spark.operators.analyze import analyze_table
+    from moonlink_spark.operators.expire import clean_stale_stats, expire_snapshots
+
+    t = small_file_table
+    res = analyze_table(spark, t)
+    # simulate a crashed analyze: a stats puffin nobody references
+    orphan = os.path.join(t.metadata_dir, "stats-99-deadbeef.puffin")
+    with open(orphan, "wb") as f:
+        f.write(b"PFA1junk")
+    assert clean_stale_stats(t) == 1
+    assert not os.path.exists(orphan)
+    assert os.path.exists(res.path)  # the referenced stats file survives
+
+    # and expiry runs the sweep as part of its GC
+    with open(orphan, "wb") as f:
+        f.write(b"PFA1junk")
+    for lsn in (11, 12, 13):
+        df = generate_images(spark, 30, partitions=1)
+        t.commit("append", added=write_data_files(spark, df, t.new_data_dir()),
+                 lsn=lsn)
+    expire_snapshots(t, retain_last=2)
+    assert not os.path.exists(orphan)
+    assert os.path.exists(res.path)
