@@ -703,5 +703,13 @@ class MoonlinkDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Register the 'moonlink' format on this session."""
+    """Register the 'moonlink' format on this session.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime SQL
+    conf, default false): the batch reader implements ``pushFilters`` and
+    Spark refuses to plan a pushdown-capable Python source while the flag
+    is off. Session-level setup belongs here — registration is already the
+    one explicit 'wire this session' call (get_spark sessions arrive with
+    it set; this covers foreign sessions)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(MoonlinkDataSource)
