@@ -348,6 +348,38 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, bands=16, rows_per_band=4).orderBy("id_a", "id_b")
 
 
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline op: image near-dup pairs by perceptual hash
+    (functions/dedup.phash_near_dup_pairs) — Hamming-LSH banding with the
+    pigeonhole completeness guarantee + exact JVM bit_count verify, never
+    all-pairs. The phash here is an engine-portable md5 derivation over
+    documents (base per doc_id%100 cluster, up to two deterministic bit
+    flips per doc), so the SQL oracle reproduces it exactly; completeness
+    means the oracle can be the plain quadratic form."""
+    from moonlink_spark.functions.dedup import phash_near_dup_pairs, portable_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    base = portable_hash60((F.col("doc_id") % 100).cast("string"))
+    flip1 = F.expr(
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 59 AS INT)) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    flip2 = F.expr(
+        "CASE WHEN doc_id % 5 = 0 THEN "
+        "shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7) % 59 AS INT)) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    ph = docs.select(
+        F.col("doc_id").alias("id"),
+        base.bitwiseXOR(flip1).bitwiseXOR(flip2).alias("phash"),
+    )
+    pairs = phash_near_dup_pairs(ph, "id", "phash", max_hamming=4)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine op: SimHash signatures (dedup.py; 60-bit portable md5 token
     hashes) — exact DuckDB oracle reconstructs the bit votes in SQL."""
@@ -1568,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "phash_near_dups": q_phash_near_dups,
         "engine_merge_scan": q_engine_merge_scan,
         "engine_range_scan": q_engine_range_scan,
         "engine_compact_scan": q_engine_compact_scan,
@@ -1969,6 +2002,26 @@ def oracle_sql() -> dict[str, str]:
                    OR (k % 10 = 5 AND k % 3 = 0)
                    OR (k % 10 = 7 AND k % 3 = 1)
             ) WHERE image_id BETWEEN '2' AND '5'
+        """,
+        # phash near-dup: completeness (pigeonhole) lets the oracle be the
+        # plain quadratic form over the same portable derivation
+        "phash_near_dups": """
+    WITH ph AS (
+        SELECT doc_id AS id,
+               xor(xor(CAST('0x' || substr(md5(CAST(doc_id % 100 AS VARCHAR)),
+                                           1, 15) AS BIGINT),
+                       CASE WHEN doc_id % 3 = 0
+                            THEN (CAST(1 AS BIGINT) << CAST(doc_id % 59 AS INT))
+                            ELSE CAST(0 AS BIGINT) END),
+                   CASE WHEN doc_id % 5 = 0
+                        THEN (CAST(1 AS BIGINT) << CAST((doc_id * 7) % 59 AS INT))
+                        ELSE CAST(0 AS BIGINT) END) AS phash
+        FROM documents
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM ph a JOIN ph b ON a.id < b.id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 4
         """,
         # datasource read path == engine scan closed form
         "engine_datasource_scan": _LIFECYCLE_BASE_SQL + """

@@ -280,6 +280,73 @@ def simhash_near_dups(
     )
 
 
+def phash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    phash_col: str = "phash",
+    max_hamming: int = 4,
+    band_bits: int = 12,
+    bits: int = 60,
+) -> DataFrame:
+    """Image near-dup pairs over a perceptual hash — Hamming-LSH with a
+    COMPLETENESS guarantee, then exact verify.
+
+    ``bits/band_bits`` bands: a pair within ``max_hamming`` differing bits
+    touches at most ``max_hamming`` bands, so with ``max_hamming < nbands``
+    it matches on >= 1 whole band (pigeonhole) — the band-equality
+    self-join generates EVERY qualifying pair without all-pairs work, and
+    the verify is pure JVM ``bit_count(a XOR b) <= max_hamming``. This is
+    the image-payload analog of ``simhash_near_dups`` (same banded shape);
+    phash is the north-rule hot-key column, so band keys inherit its skew —
+    callers dedup clusters, they don't join payloads.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, exact and complete
+    (not probabilistic, unlike MinHash banding)."""
+    nbands = bits // band_bits
+    if max_hamming >= nbands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more bands: only {nbands} "
+            f"bands of {band_bits} bits — the pigeonhole completeness "
+            "guarantee requires max_hamming < bands"
+        )
+    base = df.select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"))
+    banded = base.select(
+        "id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("ph"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "ph", "bk.band", "bk.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(
+                F.col("l.ph").bitwiseXOR(F.col("r.ph"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def verified_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -36,7 +36,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from moonlink_spark.functions.dedup import verified_near_dup_pairs
+from moonlink_spark.functions.dedup import (
+    phash_near_dup_pairs,
+    verified_near_dup_pairs,
+)
 from moonlink_spark.functions.text import normalize_text
 from moonlink_spark.operators.merge import MergeResult, merge_cdc_batch
 from moonlink_spark.schema import table_identity
@@ -94,6 +97,17 @@ def near_duplicate_losers(
     return pairs.select(F.col("id_b").alias(key)).distinct()
 
 
+def phash_duplicate_losers(
+    df: DataFrame, key: str, phash_col: str, max_hamming: int, **ph_kw
+) -> DataFrame:
+    """Identity values that are the LARGER end of at least one phash
+    near-dup pair (complete Hamming-LSH + exact verify — dedup.py)."""
+    pairs = phash_near_dup_pairs(
+        df, key, phash_col, max_hamming=max_hamming, **ph_kw
+    )
+    return pairs.select(F.col("id_b").alias(key)).distinct()
+
+
 def dedupe_table(
     spark: SparkSession,
     table: Table,
@@ -102,6 +116,7 @@ def dedupe_table(
     lsn: int | None = None,
     min_jaccard: float = 0.8,
     mode: str | None = None,
+    max_hamming: int = 4,
     **lsh_kw,
 ) -> DedupeResult:
     """Remove duplicate rows as ONE MERGE delete snapshot at ``lsn``
@@ -120,6 +135,11 @@ def dedupe_table(
     elif strategy == "minhash":
         losers = near_duplicate_losers(
             df, key, text_col, min_jaccard=min_jaccard, **lsh_kw
+        )
+    elif strategy == "phash":
+        # image near-dup: text_col names the perceptual-hash column
+        losers = phash_duplicate_losers(
+            df, key, text_col, max_hamming=max_hamming, **lsh_kw
         )
     else:
         raise ValueError(f"unknown dedupe strategy {strategy!r}")

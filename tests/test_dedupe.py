@@ -103,3 +103,48 @@ def test_dedupe_requires_single_identity(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="single identity"):
         dedupe_table(spark, t, text_col="text")
+
+
+PH_SCHEMA = StructType(
+    [
+        StructField("img_id", LongType(), False),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def test_phash_dedupe(spark, tmp_path):
+    base = 0x0F0F0F0F0F0F0F
+    rows = [
+        (1, base),
+        (2, base ^ (1 << 3)),          # hamming 1 from 1 -> loser
+        (3, base ^ (1 << 10) ^ (1 << 40)),  # hamming 2 -> loser
+        (4, base ^ 0x3F),              # hamming 6 -> survives (> max 4)
+        (5, 0x123456789ABCD),          # far away -> survives
+    ]
+    t = create_table(
+        str(tmp_path / "imgs"), PH_SCHEMA, properties={IDENTITY_PROP: "img_id"}
+    )
+    df = spark.createDataFrame(rows, PH_SCHEMA)
+    t.commit(
+        "append",
+        added=write_data_files(spark, df, t.new_data_dir(), field_id_schema=t.schema),
+        lsn=1,
+    )
+    res = dedupe_table(spark, t, text_col="phash", strategy="phash", max_hamming=4)
+    assert res.removed == 2
+    t.refresh()
+    left = sorted(
+        r["img_id"] for r in scan(spark, t).select("img_id").collect()
+    )
+    assert left == [1, 4, 5]
+    # time travel still sees the duplicates
+    assert scan_at_lsn(spark, t, 1).count() == 5
+
+
+def test_phash_pairs_completeness_guard(spark):
+    from moonlink_spark.functions.dedup import phash_near_dup_pairs
+
+    df = spark.createDataFrame([(1, 2)], "id long, phash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_dup_pairs(df, "id", max_hamming=5, band_bits=12, bits=60)
