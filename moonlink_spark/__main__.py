@@ -160,6 +160,7 @@ def cmd_dedupe(args) -> int:
     res = dedupe_table(
         spark, t, text_col=args.text_col, strategy=args.strategy,
         min_jaccard=args.min_jaccard, max_hamming=args.max_hamming,
+        min_cos=args.min_cos,
     )
     print(json.dumps({"strategy": res.strategy, "removed": res.removed,
                       "skipped": res.skipped}))
@@ -286,9 +287,10 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("dedupe")
     s.add_argument("location"); s.add_argument("--text-col", required=True)
     s.add_argument("--strategy", default="exact",
-                   choices=["exact", "minhash", "phash"])
+                   choices=["exact", "minhash", "phash", "embedding"])
     s.add_argument("--min-jaccard", type=float, default=0.8)
     s.add_argument("--max-hamming", type=int, default=4)
+    s.add_argument("--min-cos", type=float, default=0.98)
     s.set_defaults(fn=cmd_dedupe)
 
     s = sub.add_parser("analyze")

@@ -117,6 +117,7 @@ def dedupe_table(
     min_jaccard: float = 0.8,
     mode: str | None = None,
     max_hamming: int = 4,
+    min_cos: float = 0.98,
     **lsh_kw,
 ) -> DedupeResult:
     """Remove duplicate rows as ONE MERGE delete snapshot at ``lsn``
@@ -141,6 +142,25 @@ def dedupe_table(
         losers = phash_duplicate_losers(
             df, key, text_col, max_hamming=max_hamming, **lsh_kw
         )
+    elif strategy == "embedding":
+        # embedding-cosine near-dup: text_col names an array<float> column;
+        # LSH bucket self-join + exact cosine (functions/similarity.py),
+        # dim inferred from the first vector
+        from moonlink_spark.functions.similarity import embedding_near_dups
+
+        first = df.select(F.size(text_col).alias("d")).first()
+        if first is None:
+            losers = df.select(F.col(key)).limit(0)
+        else:
+            pairs = embedding_near_dups(
+                df,
+                dim=int(first["d"]),
+                min_cos=min_cos,
+                id_col=key,
+                vec_col=text_col,
+                **lsh_kw,
+            )
+            losers = pairs.select(F.col("id_b").alias(key)).distinct()
     else:
         raise ValueError(f"unknown dedupe strategy {strategy!r}")
 

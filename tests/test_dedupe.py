@@ -148,3 +148,33 @@ def test_phash_pairs_completeness_guard(spark):
     df = spark.createDataFrame([(1, 2)], "id long, phash long")
     with pytest.raises(ValueError, match="pigeonhole"):
         phash_near_dup_pairs(df, "id", max_hamming=5, band_bits=12, bits=60)
+
+
+def test_embedding_dedupe(spark, tmp_path):
+    from pyspark.sql.types import ArrayType, FloatType
+
+    EMB_SCHEMA = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("emb", ArrayType(FloatType()), True),
+        ]
+    )
+    base = [1.0, 0.5, -0.25, 2.0]
+    near = [1.01, 0.5, -0.25, 2.0]      # cosine ~0.99995 -> dup
+    far = [-1.0, 2.0, 0.5, -0.25]
+    rows = [(1, base), (2, near), (3, far), (4, base)]
+    t = create_table(
+        str(tmp_path / "emb"), EMB_SCHEMA, properties={IDENTITY_PROP: "vec_id"}
+    )
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    t.commit(
+        "append",
+        added=write_data_files(spark, df, t.new_data_dir(), field_id_schema=t.schema),
+        lsn=1,
+    )
+    res = dedupe_table(spark, t, text_col="emb", strategy="embedding",
+                       min_cos=0.99)
+    assert res.removed == 2  # ids 2 and 4 lose to 1
+    t.refresh()
+    left = sorted(r["vec_id"] for r in scan(spark, t).select("vec_id").collect())
+    assert left == [1, 3]
