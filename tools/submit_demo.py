@@ -62,10 +62,20 @@ def main() -> None:
 
     final = scan(spark, t).count()
     expected = n_rows - n_rows // 16
+
+    # the Python DataSource runs in dedicated datasource worker processes —
+    # prove THEY also resolve moonlink_spark from the shipped zip (planning
+    # pickles the reader; partitions read executor-side via pyarrow)
+    from moonlink_spark.datasource import register
+
+    register(spark)
+    ds_rows = spark.read.format("moonlink").load(table_dir).count()
+
     print(json.dumps({
         "rows": final,
         "expected": expected,
-        "ok": final == expected,
+        "ok": final == expected and ds_rows == final,
+        "datasource_rows": ds_rows,
         "snapshots": len(t.md.snapshots),
     }))
     spark.stop()
