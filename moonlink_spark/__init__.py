@@ -33,6 +33,7 @@ def __getattr__(name):
         "optimize_table": ("moonlink_spark.operators.maintenance", "optimize_table"),
         "auto_optimize": ("moonlink_spark.operators.maintenance", "auto_optimize"),
         "sync_table": ("moonlink_spark.operators.sync", "sync_table"),
+        "stream_sync": ("moonlink_spark.operators.sync", "stream_sync"),
         "clone_table": ("moonlink_spark.operators.clone", "clone_table"),
         "remove_orphan_files": ("moonlink_spark.operators.orphans", "remove_orphan_files"),
         "rebucket_table": ("moonlink_spark.operators.rebucket", "rebucket_table"),

@@ -236,3 +236,82 @@ def sync_table(
         checkpoint_root=checkpoint_root,
     )
     return SyncResult(cursor, target, merge=res)
+
+
+def stream_sync(
+    spark: SparkSession,
+    src: Table,
+    dst: Table,
+    checkpoint_location: str,
+    key: str | list[str] | None = None,
+    available_now: bool = True,
+    **merge_kwargs,
+):
+    """Continuous replication: the datasource CDC stream
+    (``spark.readStream.format("moonlink")``) drives ``sync_table``'s batch
+    semantics as a running Structured Streaming query — the push-based face
+    of the same replication middle layer (moonlink mirrors upstream change
+    streams into tables continuously; here the upstream IS a table of this
+    engine and each micro-batch of its changelog lands as one latest-wins
+    MERGE commit stamped with the window's max LSN).
+
+    Exactly-once by double cursor: Spark's checkpoint replays a crashed
+    micro-batch, and MERGE skips at an already-flushed LSN — the same
+    idempotence ``sync_table`` relies on. A first start with no checkpoint
+    begins at the REPLICA's flush LSN, so pull-synced history is never
+    re-read. Schema is pinned at query start: evolve the upstream, and the
+    stream must be restarted (sync_table mirrors the evolution on its next
+    pull; the restart path goes through it).
+
+    With ``available_now`` the call drains everything committed so far and
+    returns stats; pass False for a continuously running query (caller owns
+    ``.stop()`` — the returned object is the StreamingQuery).
+    """
+    from moonlink_spark.datasource import register
+    from moonlink_spark.streaming.stream import StreamStats
+
+    register(spark)
+    from moonlink_spark.schema import normalize_keys, table_identity
+
+    src.refresh()
+    dst.refresh()
+    keys = normalize_keys(key) if key is not None else table_identity(src)
+    _follow_schema(src, dst, keys)
+    src_names = [f.name for f in src.schema.fields]
+    stats = StreamStats()
+
+    ev = (
+        spark.readStream.format("moonlink")
+        .option("cdc", "true")
+        .option("startingLsn", str(dst.flush_lsn or 0))
+        .load(src.location)
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        mx = batch_df.agg(F.max(CHANGE_LSN_COL).alias("mx")).collect()[0]["mx"]
+        if mx is None:
+            return
+        dst.refresh()
+        res = merge_cdc_batch(
+            spark,
+            dst,
+            _as_cdc(batch_df, src_names),
+            lsn=int(mx),
+            key=keys,
+            **merge_kwargs,
+        )
+        stats.batches += 1
+        stats.skipped += int(res.skipped)
+        stats.merged += int(not res.skipped)
+        stats.results.append(res)
+
+    writer = (
+        ev.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return stats
+    return writer.start()

@@ -209,3 +209,34 @@ def test_sync_follows_swap_rename(spark, pair):
         d.sort_values("image_id").reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_stream_sync_continuous_replication(spark, pair, tmp_path):
+    """The datasource CDC stream drives replication: drain, restart from
+    checkpoint after more upstream commits, and survive maintenance."""
+    from moonlink_spark.operators.sync import stream_sync
+
+    src, dst, gen = pair
+    ck = str(tmp_path / "sync_ck")
+    for sizes in [(120, 0, 0), (15, 25, 10)]:
+        b = gen.next_batch(*sizes)
+        merge_cdc_batch(spark, src, to_spark(spark, b), gen.commit_lsn)
+
+    stats = stream_sync(spark, src, dst, ck)
+    assert stats.merged >= 1
+    _assert_in_step(spark, src, dst)
+    assert dst.refresh().flush_lsn == src.refresh().flush_lsn
+
+    # more commits + upstream maintenance; restart from the same checkpoint
+    b = gen.next_batch(10, 20, 30)
+    merge_cdc_batch(spark, src, to_spark(spark, b), gen.commit_lsn)
+    optimize_table(spark, src, mode="full")  # emits no changelog events
+
+    stats2 = stream_sync(spark, src, dst, ck)
+    assert stats2.merged == 1  # exactly the new window, nothing replayed
+    _assert_in_step(spark, src, dst)
+
+    # drained stream with nothing new: zero applied batches
+    stats3 = stream_sync(spark, src, dst, ck)
+    assert stats3.merged == 0
+    _assert_in_step(spark, src, dst)
