@@ -77,6 +77,7 @@ class MoonlinkPartition(InputPartition):
     dv_files: list = field(default_factory=list)  # [(path, fmt)]
     eq_files: list = field(default_factory=list)  # [path, ...]
     change: tuple | None = None  # (op, lsn) for cdc partitions
+    bounds: dict | None = None  # pushed per-column [lo, hi] (read pruning)
 
 
 # ------------------------------------------------------------ executor side
@@ -190,7 +191,31 @@ def _read_partition(p: MoonlinkPartition):
         resolved = _resolve_columns(keys, out_schema, None)
     else:
         pf, _ = _open_footer(p.data_path)
-        t = pf.read()
+        # row-group pruning from pushed bounds — ONLY when nothing is
+        # position-addressed (DV positions index the file's original row
+        # order; a pruned read would desync them)
+        rg_filter = None
+        if p.bounds and p.kind == "data" and not p.dv_files:
+            conj = []
+            for col, (lo, hi) in p.bounds.items():
+                if "." in col or col not in pf.schema_arrow.names:
+                    continue
+                if lo is not None:
+                    conj.append(pc.field(col) >= lo)
+                if hi is not None:
+                    conj.append(pc.field(col) <= hi)
+            for c in conj:
+                rg_filter = c if rg_filter is None else rg_filter & c
+        t = None
+        if rg_filter is not None:
+            import pyarrow.dataset as pads
+
+            try:
+                t = pads.dataset(_norm(p.data_path)).to_table(filter=rg_filter)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
+                t = None  # incomparable bound types etc. — full read below
+        if t is None:
+            t = pf.read()
         pos = _dv_positions(p.dv_files, p.data_path) if p.dv_files else None
         if p.kind == "dv-pre":
             t = t.take(pa.array(pos if pos is not None else [], type=pa.int64()))
@@ -360,6 +385,7 @@ class MoonlinkBatchReader(DataSourceReader):
                 identity=identity,
                 dv_files=dv,
                 eq_files=[p for p, seq in eqs if seq > e.sequence_number],
+                bounds=self._bounds or None,
             )
             for e in entries
         ]

@@ -218,6 +218,15 @@ def test_batch_filter_pushdown_prunes_files(spark, tmp_path):
     assert _pdf(df).equals(exp)
 
 
+def test_batch_filter_with_deletes_stays_correct(spark, dstable):
+    """Bounds + live DVs: positions must stay aligned (full read path)."""
+    pred = (F.col("image_id") >= "id00250") & (F.col("image_id") < "id00400")
+    got = _pdf(spark.read.format("moonlink").load(dstable.location).filter(pred))
+    exp = _pdf(scan(spark, dstable).filter(pred))
+    assert len(exp) == 100  # 150 in range minus 50 deleted (300-350)
+    assert got.equals(exp)
+
+
 def test_batch_write_append(spark, tmp_path):
     register(spark)
     t = create_table(str(tmp_path / "w"), IMAGES_SCHEMA)
