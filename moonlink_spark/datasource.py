@@ -425,91 +425,140 @@ class MoonlinkStreamReader(DataSourceStreamReader):
         return {"lsn": int(t.flush_lsn or 0)}
 
     def partitions(self, start, end):
-        from moonlink_spark.table.changelog import (
-            _changed_snapshots,
-            _is_replace,
+        return _changelog_partitions(
+            self._table(),
+            int(start["lsn"]),
+            int(end["lsn"]),
+            self._schema_json,
+            self._name_to_id,
+            self._identity,
+            self._eq_mode,
         )
-        from moonlink_spark.table.format import DATA, DELETES, EQ_DELETES
-
-        t = self._table()
-        lo, hi = int(start["lsn"]), int(end["lsn"])
-        if hi <= lo:
-            return []
-        parts: list[MoonlinkPartition] = []
-        for s in _changed_snapshots(t, lo, hi):
-            op = s.summary.get("operation", "")
-            if _is_replace(op):
-                continue
-            lsn = int(s.summary["lsn"])
-            data = t.entries(s.snapshot_id, DATA)
-            added_data = [e for e in data if e.sequence_number == s.sequence_number]
-            added_dels = [
-                e
-                for e in t.entries(s.snapshot_id, DELETES)
-                if e.sequence_number == s.sequence_number
-            ]
-            added_eqs = [
-                e
-                for e in t.entries(s.snapshot_id, EQ_DELETES)
-                if e.sequence_number == s.sequence_number
-            ]
-            for e in added_data:
-                parts.append(
-                    MoonlinkPartition(
-                        kind="data",
-                        data_path=e.path,
-                        schema_json=self._schema_json,
-                        name_to_id=self._name_to_id,
-                        identity=self._identity,
-                        change=("insert", lsn),
-                    )
-                )
-            if added_dels:
-                dv = [(e.path, e.stats.get("format")) for e in added_dels]
-                # pre-image files: visible before this commit AND referenced
-                # by the new DVs; the reference check happens executor-side
-                # (empty take = empty partition), keeping planning pure
-                # metadata. Positions enter a DV exactly once (MERGE probes
-                # live rows only), so no anti-set is needed.
-                for e in data:
-                    if e.sequence_number < s.sequence_number:
-                        parts.append(
-                            MoonlinkPartition(
-                                kind="dv-pre",
-                                data_path=e.path,
-                                schema_json=self._schema_json,
-                                name_to_id=self._name_to_id,
-                                identity=self._identity,
-                                dv_files=dv,
-                                change=("delete", lsn),
-                            )
-                        )
-            if added_eqs:
-                if self._eq_mode != "keys":
-                    raise ValueError(
-                        "moonlink stream: window contains a lazy-MERGE "
-                        "equality-delete commit; full pre-images need "
-                        "scan_changes (Spark-side). Opt into key-only "
-                        'delete events with .option("eqDeletes", "keys").'
-                    )
-                parts.append(
-                    MoonlinkPartition(
-                        kind="eq-keys",
-                        data_path=None,
-                        schema_json=self._schema_json,
-                        name_to_id=self._name_to_id,
-                        identity=self._identity,
-                        eq_files=[e.path for e in added_eqs],
-                        change=("delete", lsn),
-                    )
-                )
-        return parts
 
     def read(self, partition):
         return _read_partition(partition)
 
     def commit(self, end):
         pass
+
+
+def _changelog_partitions(
+    t, lo: int, hi: int, schema_json, name_to_id, identity, eq_mode
+) -> list[MoonlinkPartition]:
+    """Plan the (lo, hi] commit window as read partitions — shared by the
+    stream source and the batch CDC-window reader. Pure metadata."""
+    from moonlink_spark.table.changelog import _changed_snapshots, _is_replace
+    from moonlink_spark.table.format import DATA, DELETES, EQ_DELETES
+
+    if hi <= lo:
+        return []
+    parts: list[MoonlinkPartition] = []
+    for s in _changed_snapshots(t, lo, hi):
+        op = s.summary.get("operation", "")
+        if _is_replace(op):
+            continue
+        lsn = int(s.summary["lsn"])
+        data = t.entries(s.snapshot_id, DATA)
+        added_data = [e for e in data if e.sequence_number == s.sequence_number]
+        added_dels = [
+            e
+            for e in t.entries(s.snapshot_id, DELETES)
+            if e.sequence_number == s.sequence_number
+        ]
+        added_eqs = [
+            e
+            for e in t.entries(s.snapshot_id, EQ_DELETES)
+            if e.sequence_number == s.sequence_number
+        ]
+        for e in added_data:
+            parts.append(
+                MoonlinkPartition(
+                    kind="data",
+                    data_path=e.path,
+                    schema_json=schema_json,
+                    name_to_id=name_to_id,
+                    identity=identity,
+                    change=("insert", lsn),
+                )
+            )
+        if added_dels:
+            dv = [(e.path, e.stats.get("format")) for e in added_dels]
+            # pre-image files: visible before this commit AND referenced
+            # by the new DVs; the reference check happens executor-side
+            # (empty take = empty partition), keeping planning pure
+            # metadata. Positions enter a DV exactly once (MERGE probes
+            # live rows only), so no anti-set is needed.
+            for e in data:
+                if e.sequence_number < s.sequence_number:
+                    parts.append(
+                        MoonlinkPartition(
+                            kind="dv-pre",
+                            data_path=e.path,
+                            schema_json=schema_json,
+                            name_to_id=name_to_id,
+                            identity=identity,
+                            dv_files=dv,
+                            change=("delete", lsn),
+                        )
+                    )
+        if added_eqs:
+            if eq_mode != "keys":
+                raise ValueError(
+                    "moonlink cdc read: window contains a lazy-MERGE "
+                    "equality-delete commit; full pre-images need "
+                    "scan_changes (Spark-side). Opt into key-only "
+                    'delete events with .option("eqDeletes", "keys").'
+                )
+            parts.append(
+                MoonlinkPartition(
+                    kind="eq-keys",
+                    data_path=None,
+                    schema_json=schema_json,
+                    name_to_id=name_to_id,
+                    identity=identity,
+                    eq_files=[e.path for e in added_eqs],
+                    change=("delete", lsn),
+                )
+            )
+    return parts
+
+
+class MoonlinkChangeReader(DataSourceReader):
+    """Batch CDC-window read: ``spark.read.format("moonlink")
+    .option("cdc", "true").option("startingLsn", a)[.option("endingLsn",
+    b)].load(loc)`` returns the row events of commits in (a, b] — the
+    plain-read face of table/changelog.scan_changes, planned and executed
+    exactly like the stream source's micro-batches."""
+
+    def __init__(self, options):
+        from moonlink_spark.table.changelog import MIN_CHANGELOG_LSN_PROP
+
+        t = _load(options)
+        self._schema_json, self._name_to_id, self._identity = _schema_meta(t)
+        if options.get("startinglsn") is not None:
+            lo = int(options["startinglsn"])
+        else:
+            lo = int(t.md.properties.get(MIN_CHANGELOG_LSN_PROP, "0"))
+        hi = (
+            int(options["endinglsn"])
+            if options.get("endinglsn") is not None
+            else int(t.flush_lsn or 0)
+        )
+        self._parts = _changelog_partitions(
+            t,
+            lo,
+            hi,
+            self._schema_json,
+            self._name_to_id,
+            self._identity,
+            options.get("eqdeletes", "error"),
+        )
+
+    def partitions(self):
+        return self._parts
+
+    def read(self, partition):
+        return _read_partition(partition)
 
 
 # -------------------------------------------------------------- write side
@@ -707,10 +756,7 @@ class MoonlinkDataSource(DataSource):
 
     def reader(self, schema):
         if self.options.get("cdc") == "true":
-            raise ValueError(
-                "cdc batch reads: use table.changelog.scan_changes (LSN "
-                "window) — the batch datasource serves snapshot content"
-            )
+            return MoonlinkChangeReader(self.options)
         return MoonlinkBatchReader(self.options)
 
     def streamReader(self, schema):

@@ -279,6 +279,39 @@ def test_stream_write_exactly_once(spark, tmp_path):
     assert scan(spark, t.refresh()).count() == 140
 
 
+def test_batch_cdc_window_read(spark, dstable):
+    """spark.read with cdc=true returns the (a, b] commit window's events,
+    matching scan_changes row for row."""
+    from moonlink_spark.table.changelog import scan_changes
+
+    ev = (
+        spark.read.format("moonlink")
+        .option("cdc", "true")
+        .option("startingLsn", "1")
+        .load(dstable.location)
+        .toPandas()
+    )
+    assert set(ev["_change_lsn"]) == {2}
+    assert len(ev[ev["_change_type"] == "insert"]) == 50
+    assert len(ev[ev["_change_type"] == "delete"]) == 100
+
+    exp = scan_changes(spark, dstable, 1, 2).toPandas()
+    cols = ["image_id", "_change_type", "_change_lsn"]
+    got_s = ev[cols].sort_values(cols).reset_index(drop=True)
+    exp_s = (
+        exp.rename(columns={})[cols].sort_values(cols).reset_index(drop=True)
+    )
+    assert got_s.equals(exp_s)
+
+    # full-history window (default start = floor) includes the base load
+    all_ev = (
+        spark.read.format("moonlink")
+        .option("cdc", "true")
+        .load(dstable.location)
+    )
+    assert all_ev.filter("_change_lsn = 1").count() == 600
+
+
 def test_stream_requires_cdc_option(spark, dstable, tmp_path):
     q = (
         spark.readStream.format("moonlink")
