@@ -200,6 +200,24 @@ def cmd_orphans(args) -> int:
     return 0
 
 
+def cmd_sync(args) -> int:
+    from moonlink_spark.operators.sync import stream_sync, sync_table
+    from moonlink_spark.table.catalog import load_table
+
+    spark = _spark(args)
+    src, dst = load_table(args.src), load_table(args.dst)
+    if args.stream:
+        stats = stream_sync(spark, src, dst, args.checkpoint)
+        print(json.dumps({"mode": "stream", "batches": stats.batches,
+                          "merged": stats.merged, "skipped": stats.skipped}))
+    else:
+        res = sync_table(spark, src, dst)
+        print(json.dumps({"mode": "pull", "from_lsn": res.from_lsn,
+                          "to_lsn": res.to_lsn, "skipped": res.skipped,
+                          "bootstrapped": res.bootstrapped}))
+    return 0
+
+
 def cmd_optimize_all(args) -> int:
     from moonlink_spark.operators.maintenance import (
         catalog_tables,
@@ -301,6 +319,15 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("orphans")
     s.add_argument("location"); s.add_argument("--apply", action="store_true")
     s.add_argument("--grace-ms", type=int, default=0); s.set_defaults(fn=cmd_orphans)
+
+    s = sub.add_parser("sync")
+    s.add_argument("src")
+    s.add_argument("dst")
+    s.add_argument("--stream", action="store_true",
+                   help="drain via the Structured Streaming CDC source")
+    s.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir (required with --stream)")
+    s.set_defaults(fn=cmd_sync)
 
     s = sub.add_parser("optimize-all")
     g = s.add_mutually_exclusive_group(required=True)

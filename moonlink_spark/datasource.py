@@ -701,7 +701,13 @@ class MoonlinkStreamWriter(DataSourceStreamArrowWriter):
     """``writeStream.format("moonlink")`` — exactly-once append sink: each
     micro-batch is one commit whose summary records the batch id; on
     checkpoint-recovery re-delivery the marker is found and the replayed
-    files are dropped instead of committed."""
+    files are dropped instead of committed.
+
+    Retention caveat: markers live in snapshot summaries, so snapshot
+    expiry must retain more history than the longest possible recovery
+    gap — a batch replayed after ITS marker snapshot was expired would
+    commit again. Spark's checkpoint makes that window the crash-recovery
+    interval (normally minutes), far inside any sane retention."""
 
     def __init__(self, options):
         t = _load(options)
