@@ -650,8 +650,14 @@ def q_engine_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _lifecycle_table(spark, sf_dir)
     register(spark)
+    # explicit projection (the Python DataSource API has no pruning hook):
+    # keeps the image payload off the Arrow transport — the documented
+    # contract for wide-payload tables
     return (
-        spark.read.format("moonlink").load(t.location).select(*_LIFECYCLE_COLS)
+        spark.read.format("moonlink")
+        .option("columns", ",".join(_LIFECYCLE_COLS))
+        .load(t.location)
+        .select(*_LIFECYCLE_COLS)
     )
 
 

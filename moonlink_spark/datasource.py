@@ -78,6 +78,8 @@ class MoonlinkPartition(InputPartition):
     eq_files: list = field(default_factory=list)  # [path, ...]
     change: tuple | None = None  # (op, lsn) for cdc partitions
     bounds: dict | None = None  # pushed per-column [lo, hi] (read pruning)
+    project: list | None = None  # final output columns (schema_json is then
+    # the augmented read schema: projection + identity for eq anti-joins)
 
 
 # ------------------------------------------------------------ executor side
@@ -123,31 +125,47 @@ def _dv_positions(dv_files: list, target: str):
     return np.unique(np.concatenate([a.astype(np.int64) for a in out]))
 
 
-def _resolve_columns(file_table, schema: StructType, name_to_id: dict | None):
-    """File columns → target schema order with field-id/name resolution,
-    NULL fill for absent columns, and widening casts — the executor-side
-    mirror of table/scan.py's dual-branch read."""
-    import pyarrow as pa
-    from pyspark.sql.pandas.types import to_arrow_schema
-
+def _source_names(file_schema_arrow, fields, name_to_id: dict | None) -> dict:
+    """target field name → file column name (or None if absent), under the
+    engine's dual resolution: by field id ONLY when the footer ids agree
+    with the table's map (foreign ids fall back to names — table/stats.py
+    rule), else by name."""
     from moonlink_spark.table.fieldids import footer_field_id_map
 
-    target = to_arrow_schema(schema)
-    fmap = footer_field_id_map(file_table.schema)
-    # id-resolvable ONLY when footer ids agree with the table's map
-    # (foreign ids must fall back to names — table/stats.py rule)
+    fmap = footer_field_id_map(file_schema_arrow)
     by_id = None
     if fmap is not None and name_to_id:
         if all(name_to_id.get(n) == i for n, i in fmap.items()):
             by_id = {i: n for n, i in fmap.items()}
+    out = {}
+    for f in fields:
+        if by_id is not None:
+            out[f.name] = by_id.get((name_to_id or {}).get(f.name))
+        elif f.name in file_schema_arrow.names:
+            out[f.name] = f.name
+        else:
+            out[f.name] = None
+    return out
+
+
+def _resolve_columns(
+    file_table, schema: StructType, name_to_id: dict | None, srcmap: dict | None = None
+):
+    """File columns → target schema order with field-id/name resolution,
+    NULL fill for absent columns, and widening casts — the executor-side
+    mirror of table/scan.py's dual-branch read. Pass ``srcmap`` when it was
+    derived from the parquet FOOTER schema — reads through the dataset API
+    may strip field-id metadata from the in-memory schema."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    if srcmap is None:
+        srcmap = _source_names(file_table.schema, schema.fields, name_to_id)
     n = file_table.num_rows
     cols = []
     for f in schema.fields:
-        src_name = None
-        if by_id is not None:
-            src_name = by_id.get((name_to_id or {}).get(f.name))
-        elif f.name in file_table.schema.names:
-            src_name = f.name
+        src_name = srcmap[f.name]
         want = target.field(f.name).type
         if src_name is None:
             cols.append(pa.nulls(n, type=want))
@@ -206,16 +224,23 @@ def _read_partition(p: MoonlinkPartition):
                     conj.append(pc.field(col) <= hi)
             for c in conj:
                 rg_filter = c if rg_filter is None else rg_filter & c
+        # column-pruned read: only the file columns the output (plus any
+        # identity columns for the eq anti-join) resolves from. Column
+        # subsetting preserves row order/count, so DV positions stay valid.
+        srcmap = _source_names(pf.schema_arrow, out_schema.fields, p.name_to_id)
+        read_cols = [s for s in dict.fromkeys(srcmap.values()) if s is not None]
         t = None
         if rg_filter is not None:
             import pyarrow.dataset as pads
 
             try:
-                t = pads.dataset(_norm(p.data_path)).to_table(filter=rg_filter)
+                t = pads.dataset(_norm(p.data_path)).to_table(
+                    filter=rg_filter, columns=read_cols or None
+                )
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
                 t = None  # incomparable bound types etc. — full read below
         if t is None:
-            t = pf.read()
+            t = pf.read(columns=read_cols) if read_cols else pf.read()
         pos = _dv_positions(p.dv_files, p.data_path) if p.dv_files else None
         if p.kind == "dv-pre":
             t = t.take(pa.array(pos if pos is not None else [], type=pa.int64()))
@@ -223,7 +248,7 @@ def _read_partition(p: MoonlinkPartition):
             keep = np.ones(t.num_rows, dtype=bool)
             keep[pos] = False
             t = t.filter(pa.array(keep))
-        resolved = _resolve_columns(t, out_schema, p.name_to_id)
+        resolved = _resolve_columns(t, out_schema, p.name_to_id, srcmap=srcmap)
         if p.kind == "data" and p.eq_files:
             # strictly-older sequence rule applied at planning: only eq
             # files newer than this data file reach the partition
@@ -242,6 +267,8 @@ def _read_partition(p: MoonlinkPartition):
                     [f.name for f in out_schema.fields]
                 )
 
+    if p.project:
+        resolved = resolved.select(p.project)
     if p.change is not None:
         op, lsn = p.change
         n = resolved.num_rows
@@ -273,6 +300,19 @@ def _schema_meta(table):
         schema_field_id_map(table.schema),
         table_identity(table),
     )
+
+
+def _projected_schema(base: StructType, cols: str) -> StructType:
+    """Validated projection of the table schema from the ``columns``
+    option ("a,b,c"). The Python DataSource API has no column-pruning
+    hook, so an EXPLICIT projection is how callers keep wide payloads
+    (image bytes) off the Arrow transport."""
+    want = [c.strip() for c in cols.split(",") if c.strip()]
+    by = {f.name: f for f in base.fields}
+    missing = [c for c in want if c not in by]
+    if missing:
+        raise ValueError(f"columns option names unknown columns {missing}")
+    return StructType([by[c] for c in want])
 
 
 def _cdc_schema(schema: StructType) -> StructType:
@@ -328,7 +368,18 @@ class MoonlinkBatchReader(DataSourceReader):
         eqs = [
             (e.path, e.sequence_number) for e in t.entries(snap_id, EQ_DELETES)
         ]
-        self._meta = (schema_json, name_to_id, identity, dv, eqs)
+        project = None
+        if options.get("columns"):
+            projected = _projected_schema(t.schema, options["columns"])
+            project = [f.name for f in projected.fields]
+            aug = list(projected.fields)
+            if eqs:
+                # eq anti-joins need the identity columns even when
+                # projected away — read them, join, select the projection
+                by = {f.name: f for f in t.schema.fields}
+                aug += [by[k] for k in identity if k not in project]
+            schema_json = json.dumps(StructType(aug).jsonValue())
+        self._meta = (schema_json, name_to_id, identity, dv, eqs, project)
         self._entries = t.entries(snap_id, DATA)
         self._bounds: dict[str, list] = {}
 
@@ -372,7 +423,7 @@ class MoonlinkBatchReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        schema_json, name_to_id, identity, dv, eqs = self._meta
+        schema_json, name_to_id, identity, dv, eqs, project = self._meta
         entries = self._entries
         for col, (lo, hi) in self._bounds.items():
             entries = _prune_open(entries, col, lo, hi)
@@ -386,6 +437,7 @@ class MoonlinkBatchReader(DataSourceReader):
                 dv_files=dv,
                 eq_files=[p for p, seq in eqs if seq > e.sequence_number],
                 bounds=self._bounds or None,
+                project=project,
             )
             for e in entries
         ]
@@ -756,6 +808,14 @@ class MoonlinkDataSource(DataSource):
     def schema(self):
         t = _load(self.options)
         base = t.schema
+        cols = self.options.get("columns")
+        if cols:
+            if self.options.get("cdc") == "true":
+                raise ValueError(
+                    "columns option is batch-snapshot only — cdc reads "
+                    "deliver full row events"
+                )
+            base = _projected_schema(base, cols)
         if self.options.get("cdc") == "true":
             return _cdc_schema(base)
         return base

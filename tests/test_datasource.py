@@ -279,6 +279,53 @@ def test_stream_write_exactly_once(spark, tmp_path):
     assert scan(spark, t.refresh()).count() == 140
 
 
+def test_batch_read_columns_projection(spark, dstable, tmp_path):
+    """Explicit .option('columns') keeps the image payload off the Arrow
+    transport; results match a projected engine scan incl. DV application
+    and, on a lazy table, the eq anti-join reading keys internally."""
+    got = (
+        spark.read.format("moonlink")
+        .option("columns", "image_id,caption,phash,w")
+        .load(dstable.location)
+    )
+    assert [f.name for f in got.schema.fields] == COLS[:2] + ["phash", "w"]
+    g = _pdf(got)
+    assert len(g) == 550
+    assert g.equals(_pdf(scan(spark, dstable)))
+
+    # projection EXCLUDING the identity key on a lazy (eq-delete) table
+    t = create_table(str(tmp_path / "eqp"), IMAGES_SCHEMA,
+                     properties={BUCKETS_PROP: "4"})
+    entries = write_bucketed_data_files(
+        spark, _rows(spark, 200), t.new_data_dir(), "image_id", 4
+    )
+    t.commit("append", added=entries, lsn=1)
+    merge_cdc_batch(
+        spark, t, _cdc(spark, 200, 10, 20, 100, 130, "nv"), lsn=2, mode="lazy"
+    )
+    proj = (
+        spark.read.format("moonlink")
+        .option("columns", "caption,w")
+        .load(t.location)
+        .toPandas()
+        .sort_values(["caption", "w"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        scan(spark, t)
+        .select("caption", "w")
+        .toPandas()
+        .sort_values(["caption", "w"])
+        .reset_index(drop=True)
+    )
+    assert proj.equals(exp)
+
+    with pytest.raises(Exception, match="unknown columns"):
+        spark.read.format("moonlink").option("columns", "nope").load(
+            dstable.location
+        ).count()
+
+
 def test_batch_cdc_window_read(spark, dstable):
     """spark.read with cdc=true returns the (a, b] commit window's events,
     matching scan_changes row for row."""
