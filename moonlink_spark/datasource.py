@@ -80,6 +80,8 @@ class MoonlinkPartition(InputPartition):
     bounds: dict | None = None  # pushed per-column [lo, hi] (read pruning)
     project: list | None = None  # final output columns (schema_json is then
     # the augmented read schema: projection + identity for eq anti-joins)
+    preimage: list | None = None  # dv-pre only: materialize just these
+    # columns (others NULL) — the scan_changes preimage_columns contract
 
 
 # ------------------------------------------------------------ executor side
@@ -228,6 +230,14 @@ def _read_partition(p: MoonlinkPartition):
         # identity columns for the eq anti-join) resolves from. Column
         # subsetting preserves row order/count, so DV positions stay valid.
         srcmap = _source_names(pf.schema_arrow, out_schema.fields, p.name_to_id)
+        if p.kind == "dv-pre" and p.preimage is not None:
+            # key-only (or caller-chosen) pre-images: unread columns
+            # resolve as NULL, schema unchanged — delete consumers that
+            # apply by key never move the image payload
+            srcmap = {
+                name: (src if name in p.preimage else None)
+                for name, src in srcmap.items()
+            }
         read_cols = [s for s in dict.fromkeys(srcmap.values()) if s is not None]
         t = None
         if rg_filter is not None:
@@ -300,6 +310,25 @@ def _schema_meta(table):
         schema_field_id_map(table.schema),
         table_identity(table),
     )
+
+
+def _parse_preimage(options, schema: StructType, identity: list) -> list | None:
+    """``preimageColumns`` option → validated column list for delete
+    pre-images ('keys' = the table's identity columns). Insert events
+    always carry full rows; this narrows only what deletes materialize
+    (other columns come back NULL, schema unchanged) — the datasource face
+    of scan_changes' preimage_columns."""
+    raw = options.get("preimagecolumns")
+    if not raw:
+        return None
+    if raw.strip() == "keys":
+        return list(identity)
+    want = [c.strip() for c in raw.split(",") if c.strip()]
+    names = {f.name for f in schema.fields}
+    missing = [c for c in want if c not in names]
+    if missing:
+        raise ValueError(f"preimageColumns names unknown columns {missing}")
+    return want
 
 
 def _projected_schema(base: StructType, cols: str) -> StructType:
@@ -456,6 +485,7 @@ class MoonlinkStreamReader(DataSourceStreamReader):
         self._location = t.location
         self._schema_json, self._name_to_id, self._identity = _schema_meta(t)
         self._eq_mode = options.get("eqdeletes", "error")
+        self._preimage = _parse_preimage(options, t.schema, self._identity)
 
     def _table(self):
         from moonlink_spark.table.catalog import load_table
@@ -485,6 +515,7 @@ class MoonlinkStreamReader(DataSourceStreamReader):
             self._name_to_id,
             self._identity,
             self._eq_mode,
+            preimage=self._preimage,
         )
 
     def read(self, partition):
@@ -495,7 +526,8 @@ class MoonlinkStreamReader(DataSourceStreamReader):
 
 
 def _changelog_partitions(
-    t, lo: int, hi: int, schema_json, name_to_id, identity, eq_mode
+    t, lo: int, hi: int, schema_json, name_to_id, identity, eq_mode,
+    preimage: list | None = None,
 ) -> list[MoonlinkPartition]:
     """Plan the (lo, hi] commit window as read partitions — shared by the
     stream source and the batch CDC-window reader. Pure metadata."""
@@ -551,6 +583,7 @@ def _changelog_partitions(
                             identity=identity,
                             dv_files=dv,
                             change=("delete", lsn),
+                            preimage=preimage,
                         )
                     )
         if added_eqs:
@@ -604,6 +637,7 @@ class MoonlinkChangeReader(DataSourceReader):
             self._name_to_id,
             self._identity,
             options.get("eqdeletes", "error"),
+            preimage=_parse_preimage(options, t.schema, self._identity),
         )
 
     def partitions(self):

@@ -284,6 +284,9 @@ def stream_sync(
         spark.readStream.format("moonlink")
         .option("cdc", "true")
         .option("startingLsn", str(dst.flush_lsn or 0))
+        # deletes apply by key — the image payload never crosses Arrow for
+        # pre-images (same narrowing sync_table asks of scan_changes)
+        .option("preimageColumns", "keys")
         .load(src.location)
     )
 

@@ -132,6 +132,35 @@ def test_batch_read_evolved_schema(spark, tmp_path):
     assert got.equals(exp)
 
 
+def test_cdc_preimage_columns(spark, dstable):
+    """preimageColumns narrows what delete events materialize; 'keys'
+    resolves to the identity. Schema unchanged, other columns NULL."""
+    ev = (
+        spark.read.format("moonlink")
+        .option("cdc", "true")
+        .option("startingLsn", "1")
+        .option("preimageColumns", "keys")
+        .load(dstable.location)
+        .toPandas()
+    )
+    dels = ev[ev["_change_type"] == "delete"]
+    assert len(dels) == 100
+    assert dels["image_id"].notna().all()
+    assert dels["caption"].isna().all() and dels["bytes"].isna().all()
+    # inserts unaffected
+    ins = ev[ev["_change_type"] == "insert"]
+    assert ins["caption"].notna().all()
+
+    with pytest.raises(Exception, match="unknown columns"):
+        (
+            spark.read.format("moonlink")
+            .option("cdc", "true")
+            .option("preimageColumns", "bogus")
+            .load(dstable.location)
+            .count()
+        )
+
+
 def test_stream_eq_delete_commits(spark, tmp_path):
     """Lazy-MERGE windows: loud by default, key-only events on opt-in."""
     register(spark)
