@@ -200,6 +200,44 @@ def cmd_orphans(args) -> int:
     return 0
 
 
+def cmd_clone(args) -> int:
+    from moonlink_spark.operators.clone import clone_table
+    from moonlink_spark.table.catalog import load_table
+
+    c = clone_table(load_table(args.src), args.dst)
+    print(json.dumps({"cloned": args.src, "to": c.location,
+                      "snapshots": len(c.md.snapshots)}))
+    return 0
+
+
+def cmd_rollback(args) -> int:
+    from moonlink_spark.table.catalog import load_table
+
+    t = load_table(args.location)
+    snap = t.rollback(snapshot_id=args.snapshot_id, lsn=args.lsn)
+    print(json.dumps({"rolled_back": args.location,
+                      "snapshot_id": snap.snapshot_id,
+                      "lsn": t.refresh().flush_lsn}))
+    return 0
+
+
+def cmd_tag(args) -> int:
+    from moonlink_spark.table.catalog import load_table
+    from moonlink_spark.table.refs import create_tag, drop_ref, list_refs
+
+    t = load_table(args.location)
+    if args.drop:
+        drop_ref(t, args.name)
+        print(json.dumps({"dropped": args.name}))
+    elif args.name:
+        create_tag(t, args.name, snapshot_id=args.snapshot_id)
+        print(json.dumps({"tagged": args.name,
+                          "refs": sorted(list_refs(t))}))
+    else:
+        print(json.dumps({"refs": sorted(list_refs(t))}))
+    return 0
+
+
 def cmd_sync(args) -> int:
     from moonlink_spark.operators.sync import stream_sync, sync_table
     from moonlink_spark.table.catalog import load_table
@@ -319,6 +357,23 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("orphans")
     s.add_argument("location"); s.add_argument("--apply", action="store_true")
     s.add_argument("--grace-ms", type=int, default=0); s.set_defaults(fn=cmd_orphans)
+
+    s = sub.add_parser("clone")
+    s.add_argument("src"); s.add_argument("dst"); s.set_defaults(fn=cmd_clone)
+
+    s = sub.add_parser("rollback")
+    s.add_argument("location")
+    g = s.add_mutually_exclusive_group(required=True)
+    g.add_argument("--snapshot-id", type=int, default=None)
+    g.add_argument("--lsn", type=int, default=None)
+    s.set_defaults(fn=cmd_rollback)
+
+    s = sub.add_parser("tag")
+    s.add_argument("location")
+    s.add_argument("name", nargs="?", default=None)
+    s.add_argument("--snapshot-id", type=int, default=None)
+    s.add_argument("--drop", action="store_true")
+    s.set_defaults(fn=cmd_tag)
 
     s = sub.add_parser("sync")
     s.add_argument("src")
