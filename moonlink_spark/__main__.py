@@ -108,8 +108,22 @@ def cmd_optimize(args) -> int:
     elif args.mode == "cluster":
         from moonlink_spark.operators.cluster import cluster
 
-        cluster(spark, t, strategy=args.strategy)
-        print(json.dumps({"clustered": args.location, "strategy": args.strategy}))
+        kw = {}
+        if args.cols:
+            kw["cols"] = tuple(c.strip() for c in args.cols.split(","))
+        cluster(spark, t, strategy=args.strategy, **kw)
+        print(json.dumps({"clustered": args.location, "strategy": args.strategy,
+                          "cols": kw.get("cols")}))
+    elif args.scope_key is not None and args.mode == "full":
+        from moonlink_spark.operators.compact import compact
+
+        res = compact(
+            spark, t, mode="full",
+            scope_key=args.scope_key, scope_lo=args.scope_lo,
+            scope_hi=args.scope_hi,
+        )
+        print(json.dumps({"compacted": args.location, "scoped": True,
+                          "skipped": res.skipped}))
     elif args.mode == "expire":
         from moonlink_spark.operators.expire import expire_snapshots
 
@@ -328,7 +342,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--mode", default="auto",
                    choices=["auto", "full", "data", "index", "cluster", "expire"])
     s.add_argument("--strategy", default="zorder", choices=["zorder", "hilbert"])
+    s.add_argument("--cols", default=None,
+                   help="cluster columns, comma-separated (default phash,w,h)")
     s.add_argument("--retain-last", type=int, default=2)
+    s.add_argument("--scope-key", default=None,
+                   help="spot compaction: restrict to this key's range")
+    s.add_argument("--scope-lo", default=None)
+    s.add_argument("--scope-hi", default=None)
     s.set_defaults(fn=cmd_optimize)
 
     s = sub.add_parser("scan")

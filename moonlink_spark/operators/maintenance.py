@@ -98,6 +98,12 @@ AUTO_DEFAULTS = {
     # stats snapshot trails the head by >= this many data-changing commits;
     # 0 disables auto-analyze
     "moonlink.analyze.max-snapshot-lag": "0",
+    # automatic re-clustering (liquid-clustering-style drift threshold):
+    # re-run the table's clustering rewrite when data bytes written AFTER
+    # the last cluster commit exceed this fraction of total data bytes.
+    # Empty disables; requires a prior manual cluster() (its strategy/cols
+    # are re-read from that commit's recorded metrics).
+    "moonlink.cluster.max-drift-ratio": "",
 }
 
 
@@ -117,6 +123,7 @@ class AutoMaintenanceReport:
     manifest_rewrite: object | None = None
     expire: object | None = None
     analyze: object | None = None
+    cluster: object | None = None
 
 
 def auto_optimize(
@@ -191,9 +198,52 @@ def auto_optimize(
             report.triggered.append("expire")
             report.expire = ex
 
+    _maybe_auto_cluster(spark, table, report)
     _maybe_auto_analyze(spark, table, report)
 
     return report
+
+
+def _maybe_auto_cluster(spark, table, report):
+    """Re-cluster when enough new bytes landed since the last clustering
+    rewrite — the batch analog of liquid clustering's background
+    re-organization. Drift is measured from metadata only (per-entry
+    sequence numbers vs the last cluster commit's sequence), so the check
+    is free; the rewrite itself is the ordinary cluster() full rewrite
+    (which folds deletes and re-attaches key blooms)."""
+    ratio = _prop(table, "moonlink.cluster.max-drift-ratio", float)
+    if not ratio or ratio <= 0:
+        return
+    table.refresh()
+    last = None
+    for s in table.md.snapshots:
+        op = s.summary.get("operation", "")
+        if op.startswith("cluster-") and (
+            last is None or s.sequence_number > last.sequence_number
+        ):
+            last = s
+    if last is None:
+        return  # never clustered — auto mode has nothing to restore
+    entries = table.data_entries()
+    total = sum(e.file_size_bytes for e in entries)
+    drifted = sum(
+        e.file_size_bytes
+        for e in entries
+        if e.sequence_number > last.sequence_number
+    )
+    if total == 0 or drifted / total < ratio:
+        return
+    from moonlink_spark.operators.cluster import cluster
+
+    m = last.summary.get("cluster-metrics", {})
+    res = cluster(
+        spark,
+        table,
+        cols=tuple(m.get("cols") or ("phash", "w", "h")),
+        strategy=m.get("strategy", "zorder"),
+    )
+    report.cluster = res
+    report.triggered.append("cluster")
 
 
 @dataclass

@@ -213,3 +213,34 @@ def test_expiry_sweeps_orphaned_stats_files(spark, small_file_table):
     expire_snapshots(t, retain_last=2)
     assert not os.path.exists(orphan)
     assert os.path.exists(res.path)
+
+
+def test_cluster_drift_triggers_recluster(spark, tmp_path):
+    from moonlink_spark.operators.cluster import cluster
+
+    t = create_table(str(tmp_path / "cl"), IMAGES_SCHEMA)
+    df = generate_images(spark, 300, partitions=2)
+    t.commit("append", added=write_data_files(spark, df, t.new_data_dir()),
+             lsn=1)
+    cluster(spark, t, cols=("phash", "w"), strategy="zorder")
+    t.set_properties({"moonlink.cluster.max-drift-ratio": "0.2"})
+
+    # no drift yet -> no trigger
+    rep = auto_optimize(spark, t)
+    assert "cluster" not in rep.triggered
+
+    # append ~50% new bytes -> drift over threshold -> recluster with the
+    # SAME recorded cols/strategy
+    df2 = generate_images(spark, 300, partitions=2)
+    t.commit("append", added=write_data_files(spark, df2, t.new_data_dir()),
+             lsn=2)
+    rows = scan(spark, t).count()
+    rep = auto_optimize(spark, t)
+    assert "cluster" in rep.triggered
+    assert rep.cluster.metrics["cols"] == ["phash", "w"]
+    t.refresh()
+    assert scan(spark, t).count() == rows
+
+    # stable: immediately after reclustering there is no drift
+    rep = auto_optimize(spark, t)
+    assert "cluster" not in rep.triggered
