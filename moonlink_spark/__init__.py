@@ -53,6 +53,7 @@ def __getattr__(name):
         "inspect_delete_files": ("moonlink_spark.table.inspect", "delete_files"),
         "inspect_manifests": ("moonlink_spark.table.inspect", "manifests"),
         "inspect_refs": ("moonlink_spark.table.inspect", "refs"),
+        "inspect_stats": ("moonlink_spark.table.inspect", "stats"),
         "create_tag": ("moonlink_spark.table.refs", "create_tag"),
         "create_branch": ("moonlink_spark.table.refs", "create_branch"),
         "drop_ref": ("moonlink_spark.table.refs", "drop_ref"),

@@ -220,3 +220,11 @@ def refs(spark: SparkSession, table: Table) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, _REFS_SCHEMA)
+
+
+def stats(spark: SparkSession, table: Table) -> DataFrame:
+    """The table's column statistics (ANALYZE output) as a metadata table —
+    one row per analyzed column (operators/analyze.py)."""
+    from moonlink_spark.operators.analyze import stats_dataframe
+
+    return stats_dataframe(spark, table)

@@ -90,3 +90,12 @@ def test_stats_dataframe_surface(spark, atable):
 def test_analyze_unknown_column_rejected(spark, atable):
     with pytest.raises(ValueError, match="unknown columns"):
         analyze_table(spark, atable, columns=["nope"])
+
+
+def test_inspect_stats_surface(spark, atable):
+    from moonlink_spark import inspect_stats
+
+    analyze_table(spark, atable)
+    pdf = inspect_stats(spark, atable).toPandas().set_index("column")
+    assert pdf.loc["caption", "null_count"] == 500
+    assert pdf.loc["image_id", "row_count"] == 5000
