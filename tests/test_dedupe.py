@@ -178,3 +178,41 @@ def test_embedding_dedupe(spark, tmp_path):
     t.refresh()
     left = sorted(r["vec_id"] for r in scan(spark, t).select("vec_id").collect())
     assert left == [1, 3]
+
+
+def test_phash_pairs_pigeonhole_completeness(spark):
+    """Adversarial completeness: pairs at EXACTLY max_hamming with all
+    differing bits packed to defeat naive banding — straddling band
+    boundaries, inside one band, in the top uncovered bits (60..63) —
+    must all be found; one beyond the threshold must not."""
+    from moonlink_spark.functions.dedup import phash_near_dup_pairs
+
+    base = 0x0123456789ABCD
+    rows = [
+        (0, base),
+        # 4 diffs straddling the band-0/band-1 boundary (bits 10..13)
+        (1, base ^ (0xF << 10)),
+        # 4 diffs inside a single band (bits 24..27, band 2)
+        (2, base ^ (0xF << 24)),
+        # diffs split across the covered/uncovered boundary: 2 in band 4,
+        # 2 above bit 60 (uncovered by any band, still counted by verify)
+        (3, base ^ (0x3 << 58) ^ (0x3 << 61)),
+        # 5 diffs -> beyond max_hamming, must NOT pair with 0
+        (4, base ^ 0x1F),
+    ]
+    df = spark.createDataFrame(rows, "id long, phash long")
+    pairs = phash_near_dup_pairs(
+        df, "id", max_hamming=4, band_bits=12, bits=60
+    ).toPandas()
+    with_zero = {
+        tuple(sorted((a, b)))
+        for a, b in zip(pairs["id_a"], pairs["id_b"])
+        if 0 in (a, b)
+    }
+    assert {(0, 1), (0, 2), (0, 3)} <= with_zero
+    assert (0, 4) not in with_zero
+    h = {
+        tuple(sorted((a, b))): hm
+        for a, b, hm in zip(pairs["id_a"], pairs["id_b"], pairs["hamming"])
+    }
+    assert h[(0, 1)] == 4 and h[(0, 2)] == 4 and h[(0, 3)] == 4
