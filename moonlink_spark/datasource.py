@@ -210,6 +210,14 @@ def _read_partition(p: MoonlinkPartition):
         keys = _eq_key_rows(p.eq_files, p.identity)
         resolved = _resolve_columns(keys, out_schema, None)
     else:
+        pos = _dv_positions(p.dv_files, p.data_path) if p.dv_files else None
+        if p.kind == "dv-pre" and (pos is None or not len(pos)):
+            # the commit's DVs never reference this file — no delete
+            # events, and (crucially) no read of the data file at all:
+            # dv-pre planning fans out over every prior file, so this
+            # guard keeps a delete commit O(referenced files), not
+            # O(table bytes)
+            return
         pf, _ = _open_footer(p.data_path)
         # row-group pruning from pushed bounds — ONLY when nothing is
         # position-addressed (DV positions index the file's original row
@@ -251,9 +259,8 @@ def _read_partition(p: MoonlinkPartition):
                 t = None  # incomparable bound types etc. — full read below
         if t is None:
             t = pf.read(columns=read_cols) if read_cols else pf.read()
-        pos = _dv_positions(p.dv_files, p.data_path) if p.dv_files else None
         if p.kind == "dv-pre":
-            t = t.take(pa.array(pos if pos is not None else [], type=pa.int64()))
+            t = t.take(pa.array(pos, type=pa.int64()))
         elif pos is not None and len(pos):
             keep = np.ones(t.num_rows, dtype=bool)
             keep[pos] = False
@@ -290,6 +297,24 @@ def _read_partition(p: MoonlinkPartition):
 
 
 # -------------------------------------------------------------- driver side
+
+
+def _check_eq_identity(eq_entries, identity: list) -> None:
+    """Mirror table/scan.py's EQ_KEYS_STAT guard on the datasource plane:
+    an equality-delete file written over a DIFFERENT identity than the
+    table currently declares must raise, never silently anti-join on the
+    wrong keys (scan.py:196-203 is the engine-side twin)."""
+    from moonlink_spark.table.writer import EQ_KEYS_STAT
+
+    for e in eq_entries:
+        wrote = e.stats.get(EQ_KEYS_STAT, "")
+        if wrote and wrote.split(",") != list(identity):
+            raise ValueError(
+                f"eq-delete file {e.path} was written over identity "
+                f"[{wrote}] but the table now declares {list(identity)}; "
+                "re-declare the identity only after compacting eq-deletes "
+                "away"
+            )
 
 
 def _load(options):
@@ -394,9 +419,9 @@ class MoonlinkBatchReader(DataSourceReader):
             (e.path, e.stats.get("format"))
             for e in t.entries(snap_id, DELETES)
         ]
-        eqs = [
-            (e.path, e.sequence_number) for e in t.entries(snap_id, EQ_DELETES)
-        ]
+        eq_entries = t.entries(snap_id, EQ_DELETES)
+        _check_eq_identity(eq_entries, identity)
+        eqs = [(e.path, e.sequence_number) for e in eq_entries]
         project = None
         if options.get("columns"):
             projected = _projected_schema(t.schema, options["columns"])
@@ -587,6 +612,7 @@ def _changelog_partitions(
                         )
                     )
         if added_eqs:
+            _check_eq_identity(added_eqs, identity)
             if eq_mode != "keys":
                 raise ValueError(
                     "moonlink cdc read: window contains a lazy-MERGE "
@@ -775,9 +801,17 @@ class MoonlinkBatchWriter(DataSourceArrowWriter):
 
         t = load_table(self._location)
         entries = _entries_from(messages)
-        lsn = self._lsn if self._lsn is not None else (t.flush_lsn or 0) + 1
         if entries:
-            t.commit("append", added=entries, lsn=lsn)
+            # retry-safe: appends reuse the winner's manifests; a derived
+            # lsn is recomputed from the refreshed flush_lsn per attempt
+            explicit = self._lsn
+            t.commit_with_retry(
+                "append",
+                added=entries,
+                lsn=lambda tb: (
+                    explicit if explicit is not None else (tb.flush_lsn or 0) + 1
+                ),
+            )
 
     def abort(self, messages):
         _delete_files(messages)
@@ -818,10 +852,10 @@ class MoonlinkStreamWriter(DataSourceStreamArrowWriter):
                 return
         entries = _entries_from(messages)
         if entries:
-            t.commit(
+            t.commit_with_retry(
                 "append",
                 added=entries,
-                lsn=(t.flush_lsn or 0) + 1,
+                lsn=lambda tb: (tb.flush_lsn or 0) + 1,
                 summary_extra={STREAM_BATCH_PROP: marker},
             )
 

@@ -87,6 +87,15 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
+    return _minhash_from_shingles(shingled, num_hashes, seed)
+
+
+def _minhash_from_shingles(
+    shingled: DataFrame, num_hashes: int, seed: int
+) -> DataFrame:
+    """(id, sh: array<string> distinct shingles) → (id, sig). The signature
+    depends only on the shingle SET, so any ordering of ``sh`` yields the
+    same signature."""
     hashed = shingled.select(
         "id", F.transform(F.col("sh"), portable_hash32).alias("shingles")
     )
@@ -119,44 +128,152 @@ def minhash_signatures(
     return hashed.mapInPandas(run, schema="id long, sig array<long>")
 
 
+def _banded_rep_pairs(
+    banded: DataFrame, hot_bucket_cap: int | None = None, what: str = "lsh"
+) -> DataFrame:
+    """Band-bucket self-join over DISTINCT grouping keys.
+
+    ``banded``: (gk, rep, band, key) — exactly ONE row per (distinct
+    grouping key, band). Because identical-key clusters collapsed to one
+    row upstream, a viral cluster of c identical hashes contributes 1 row
+    per bucket here instead of c — the c²/2-per-band blowup on the
+    north-rule's skew-hot phash column cannot happen in this join.
+
+    ``hot_bucket_cap`` bounds the residual regime (many DISTINCT keys
+    sharing a band bucket): (band, key) buckets holding more than cap
+    distinct keys are dropped from candidate generation. That is a
+    COVERAGE cap, never silent — the dropped-bucket count is computed
+    (rep-level, cheap) and logged loudly here.
+
+    Returns (gk_a, gk_b, rep_a, rep_b) distinct, rep_a < rep_b.
+    """
+    if hot_bucket_cap is not None:
+        cnt = banded.groupBy("band", "key").agg(F.count("*").alias("__n"))
+        dropped = cnt.filter(F.col("__n") > hot_bucket_cap).count()
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s: hot_bucket_cap=%d dropped %d band bucket(s) from "
+                "candidate generation — pairs spanning only those buckets "
+                "are NOT reported (coverage cap)",
+                what,
+                hot_bucket_cap,
+                dropped,
+            )
+        banded = banded.join(
+            cnt.filter(F.col("__n") <= hot_bucket_cap).drop("__n"),
+            ["band", "key"],
+            "left_semi",
+        )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.rep") < F.col("r.rep")),
+        )
+        .select(
+            F.col("l.gk").alias("gk_a"),
+            F.col("r.gk").alias("gk_b"),
+            F.col("l.rep").alias("rep_a"),
+            F.col("r.rep").alias("rep_b"),
+        )
+        .distinct()
+    )
+
+
+def _partner_min(rep_pairs: DataFrame) -> DataFrame:
+    """(gk, pm): per grouping key, the smallest rep id among all groups it
+    matched — enough to decide cross-group losership without ever
+    materializing member-level pairs (a member m of g loses to partner h
+    iff m.id > min(h) = rep(h))."""
+    return (
+        rep_pairs.select(F.col("gk_a").alias("gk"), F.col("rep_b").alias("pm"))
+        .unionByName(
+            rep_pairs.select(F.col("gk_b").alias("gk"), F.col("rep_a").alias("pm"))
+        )
+        .groupBy("gk")
+        .agg(F.min("pm").alias("pm"))
+    )
+
+
+def _sig_digest(sig_col) -> "F.Column":
+    """Engine-stable digest of a full minhash signature (grouping key for
+    identical-signature collapse)."""
+    return F.md5(
+        F.concat_ws(",", F.transform(sig_col, lambda x: x.cast("string")))
+    )
+
+
+def _band_key(sig_col, b, rows_per_band: int):
+    """md5 bucket of band ``b``'s signature slice (engine-portable — the
+    DuckDB oracle reconstructs the identical string)."""
+    return F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
-    sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sig_df: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Band the signatures; pairs sharing any band bucket are candidates.
-    Self-join is on (band, bucket-hash) — uniform keys, bounded fan-out.
-    The bucket is md5 of the band's signature slice (engine-portable)."""
-    banded = sig_df.select(
-        "id",
+
+    Skew-safe shape: identical signatures collapse to ONE representative
+    before the band self-join (a viral cluster of c identical docs would
+    otherwise put c rows in the same bucket of EVERY band — c²/2 join work
+    per band); the join runs over distinct signatures only, and identical-
+    signature groups expand afterwards (they share every band by
+    definition, so every intra-group pair is a candidate). Output is
+    identical to the uncollapsed join — the bucket is a function of the
+    signature alone. Intra-group expansion is Ω(output) by construction;
+    dedup callers use the loser APIs, which never materialize it."""
+    keyed = sig_df.select("id", "sig", _sig_digest(F.col("sig")).alias("gk"))
+    members = keyed.select("id", "gk")
+    uniq = keyed.groupBy("gk").agg(
+        F.min("id").alias("rep"), F.first("sig").alias("sig")
+    )
+    banded = uniq.select(
+        "gk",
+        "rep",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
+                    _band_key(F.col("sig"), b, rows_per_band).alias("key"),
                 ),
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+    ).select("gk", "rep", "bb.band", "bb.key")
+    rep_pairs = _banded_rep_pairs(banded, hot_bucket_cap, "lsh_candidate_pairs")
+    a = members.select(F.col("gk").alias("gk_a"), F.col("id").alias("_ia"))
+    b = members.select(F.col("gk").alias("gk_b"), F.col("id").alias("_ib"))
+    cross = (
+        rep_pairs.join(a, "gk_a")
+        .join(b, "gk_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
+    x, y = members.alias("x"), members.alias("y")
+    intra = x.join(
+        y, (F.col("x.gk") == F.col("y.gk")) & (F.col("x.id") < F.col("y.id"))
+    ).select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    # no outer distinct needed: rep_pairs is distinct (one row per group
+    # pair), each member belongs to exactly one group, and cross ∩ intra = ∅
+    return cross.unionByName(intra)
 
 
 def exact_jaccard(
@@ -245,39 +362,57 @@ def simhash_signatures(
     return toks.mapInPandas(run, schema="id long, simhash long")
 
 
+def _hamming_bands(hash_col, band_bits: int, nbands: int):
+    """Explodable (band, key) structs: fixed-width bit slices of an int64
+    hash — the Hamming-LSH banding shared by simhash and phash."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(hash_col, i * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .alias("key"),
+                )
+                for i in range(nbands)
+            ]
+        )
+    )
+
+
 def simhash_near_dups(
-    sim_df: DataFrame, band_bits: int = 15, bits: int = SIMHASH_BITS
+    sim_df: DataFrame,
+    band_bits: int = 15,
+    bits: int = SIMHASH_BITS,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any of the bits/band_bits simhash
-    bands (Hamming-distance LSH)."""
+    bands (Hamming-distance LSH). Identical simhash values collapse to one
+    representative before the band self-join (they share every band, so
+    intra-group pairs expand back unconditionally) — a viral cluster of c
+    identical docs costs the join one row per bucket, not c²/2 pairs."""
     nbands = bits // band_bits
-    banded = sim_df.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), i * band_bits)
-                        .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        .alias("key"),
-                    )
-                    for i in range(nbands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
-    return (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.id") < F.col("r.id")),
+    members = sim_df.select("id", F.col("simhash").alias("gk"))
+    uniq = members.groupBy("gk").agg(F.min("id").alias("rep"))
+    banded = uniq.select(
+        "gk", "rep", _hamming_bands(F.col("gk"), band_bits, nbands).alias("bk")
+    ).select("gk", "rep", "bk.band", "bk.key")
+    rep_pairs = _banded_rep_pairs(banded, hot_bucket_cap, "simhash_near_dups")
+    a = members.select(F.col("gk").alias("gk_a"), F.col("id").alias("_ia"))
+    b = members.select(F.col("gk").alias("gk_b"), F.col("id").alias("_ib"))
+    cross = (
+        rep_pairs.join(a, "gk_a")
+        .join(b, "gk_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
+    x, y = members.alias("x"), members.alias("y")
+    intra = x.join(
+        y, (F.col("x.gk") == F.col("y.gk")) & (F.col("x.id") < F.col("y.id"))
+    ).select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    return cross.unionByName(intra)
 
 
 def phash_near_dup_pairs(
@@ -287,6 +422,7 @@ def phash_near_dup_pairs(
     max_hamming: int = 4,
     band_bits: int = 12,
     bits: int = 60,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs over a perceptual hash — Hamming-LSH with a
     COMPLETENESS guarantee, then exact verify.
@@ -301,7 +437,55 @@ def phash_near_dup_pairs(
     callers dedup clusters, they don't join payloads.
 
     Returns (id_a, id_b, hamming) with id_a < id_b, exact and complete
-    (not probabilistic, unlike MinHash banding)."""
+    (not probabilistic, unlike MinHash banding).
+
+    Skew guard (round 5): phash is the north-rule's hot-key column — a
+    viral image cluster means c IDENTICAL phash values. Identical values
+    collapse to one representative before the band self-join (distinct
+    phash values only), and groups expand back afterwards: intra-group
+    pairs have hamming 0 and always qualify, cross-group pairs inherit the
+    rep pair's hamming (a function of the two phash values alone). Output
+    is identical to the uncollapsed join; the join's per-bucket work drops
+    from c² to (distinct values)². The intra expansion is Ω(output) by
+    definition — dedup callers use ``_group_losers`` (operators/dedupe.py),
+    which never materializes it."""
+    members, verified = _phash_rep_pairs(
+        df, id_col, phash_col, max_hamming, band_bits, bits, hot_bucket_cap
+    )
+    a = members.select(F.col("gk").alias("gk_a"), F.col("id").alias("_ia"))
+    b = members.select(F.col("gk").alias("gk_b"), F.col("id").alias("_ib"))
+    cross = (
+        verified.join(a, "gk_a")
+        .join(b, "gk_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    intra = x.join(
+        y, (F.col("x.gk") == F.col("y.gk")) & (F.col("x.id") < F.col("y.id"))
+    ).select(
+        F.col("x.id").alias("id_a"),
+        F.col("y.id").alias("id_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return cross.unionByName(intra)
+
+
+def _phash_rep_pairs(
+    df: DataFrame,
+    id_col: str,
+    phash_col: str,
+    max_hamming: int,
+    band_bits: int,
+    bits: int,
+    hot_bucket_cap: int | None = None,
+):
+    """Collapsed core of the phash pipeline. Returns (members, verified):
+    members (id, gk=phash); verified (gk_a, gk_b, rep_a, rep_b, hamming)
+    rep-level pairs with hamming ≤ max_hamming."""
     nbands = bits // band_bits
     if max_hamming >= nbands:
         raise ValueError(
@@ -309,42 +493,96 @@ def phash_near_dup_pairs(
             f"bands of {band_bits} bits — the pigeonhole completeness "
             "guarantee requires max_hamming < bands"
         )
-    base = df.select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"))
-    banded = base.select(
-        "id",
-        "ph",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("ph"), i * band_bits)
-                        .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        .alias("key"),
-                    )
-                    for i in range(nbands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "ph", "bk.band", "bk.key")
-    l, r = banded.alias("l"), banded.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.bit_count(
-                F.col("l.ph").bitwiseXOR(F.col("r.ph"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    members = df.select(F.col(id_col).alias("id"), F.col(phash_col).alias("gk"))
+    uniq = members.groupBy("gk").agg(F.min("id").alias("rep"))
+    banded = uniq.select(
+        "gk", "rep", _hamming_bands(F.col("gk"), band_bits, nbands).alias("bk")
+    ).select("gk", "rep", "bk.band", "bk.key")
+    rep_pairs = _banded_rep_pairs(banded, hot_bucket_cap, "phash_near_dup_pairs")
+    verified = rep_pairs.withColumn(
+        "hamming",
+        F.bit_count(F.col("gk_a").bitwiseXOR(F.col("gk_b"))),
+    ).filter(F.col("hamming") <= max_hamming)
+    return members, verified
+
+
+def _verified_rep_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    min_jaccard: float = 0.0,
+    hot_bucket_cap: int | None = None,
+):
+    """Shared core of the verified MinHash pipeline, collapsed on the
+    DISTINCT SHINGLE SET (the exactness-preserving key: equal sets ⇒ equal
+    signature AND Jaccard 1, so collapsing changes nothing but the work).
+
+    Returns (members, uniq, verified):
+      members  (id, gk)           — gk = md5 digest of the sorted set
+      uniq     (gk, rep, sh, sz)  — one row per distinct set
+      verified (gk_a, gk_b, rep_a, rep_b, jaccard) — rep-level verified
+        pairs; jaccard ≥ min_jaccard, identical for every member pair of
+        the two groups (their sets equal the reps').
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
     )
+    keyed = sh.select(
+        "id", "sh", F.md5(F.concat_ws("\x1f", "sh")).alias("gk")
+    )
+    members = keyed.select("id", "gk")
+    uniq = keyed.groupBy("gk").agg(
+        F.min("id").alias("rep"), F.first("sh").alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    sigs = _minhash_from_shingles(
+        uniq.select(F.col("rep").alias("id"), "sh"), num_hashes, seed
+    )
+    banded = (
+        sigs.join(uniq.select(F.col("rep").alias("id"), "gk"), "id")
+        .select(
+            "gk",
+            F.col("id").alias("rep"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        _band_key(F.col("sig"), b, rows_per_band).alias("key"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select("gk", "rep", "bb.band", "bb.key")
+    )
+    rep_pairs = _banded_rep_pairs(
+        banded, hot_bucket_cap, "verified_near_dup_pairs"
+    )
+    a = uniq.select(F.col("gk").alias("gk_a"), F.col("sh").alias("sh_a"))
+    b = uniq.select(F.col("gk").alias("gk_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    verified = (
+        rep_pairs.join(a, "gk_a")
+        .join(b, "gk_b")
+        .select(
+            "gk_a",
+            "gk_b",
+            "rep_a",
+            "rep_b",
+            F.round(
+                inter / (F.size("sh_a") + F.size("sh_b") - inter), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return members, uniq, verified
 
 
 def verified_near_dup_pairs(
@@ -357,35 +595,54 @@ def verified_near_dup_pairs(
     rows_per_band: int = 4,
     seed: int = 42,
     min_jaccard: float = 0.0,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """The scale-correct near-dup pipeline: MinHash LSH candidate pairs →
     exact shingle-Jaccard verification of CANDIDATES ONLY.
 
-    Never materializes all-pairs: the only quadratic-risk step is the band
-    self-join, whose fan-out is bounded by bucket sizes (uniform md5 keys).
-    The verify step joins each candidate pair to its two (distinct-)shingle
-    sets and computes |A∩B| via JVM array_intersect — O(|A|+|B|) per pair,
-    no shingle-level join. Fully SQL-expressible, so the whole pipeline has
-    an exact DuckDB oracle (see __spark_entry__.oracle_sql).
-    """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    shing = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    Never materializes all-pairs, and (round 5) never lets a viral cluster
+    of identical texts melt the band join: identical shingle SETS collapse
+    to one representative before banding/signing/verifying — a 10⁶-member
+    duplicate cluster costs the join ONE row per bucket — and groups expand
+    back afterwards (intra-group pairs have Jaccard exactly 1 when the set
+    is non-empty; empty sets divide 0/0 → NULL and are filtered, matching
+    the uncollapsed formula). The verify step uses JVM array_intersect on
+    rep sets — O(|A|+|B|) per CANDIDATE pair, no shingle-level join. Fully
+    SQL-expressible (exact DuckDB oracle, __spark_entry__.oracle_sql).
+    Note the intra expansion is Ω(output); dedup uses the loser APIs,
+    which skip it entirely (group-min logic)."""
+    members, uniq, verified = _verified_rep_pairs(
+        df,
+        id_col,
+        text_col,
+        shingle_n,
+        num_hashes,
+        bands,
+        rows_per_band,
+        seed,
+        min_jaccard,
+        hot_bucket_cap,
     )
-    a = shing.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = shing.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+    a = members.select(F.col("gk").alias("gk_a"), F.col("id").alias("_ia"))
+    b = members.select(F.col("gk").alias("gk_b"), F.col("id").alias("_ib"))
+    cross = (
+        verified.join(a, "gk_a")
+        .join(b, "gk_b")
         .select(
-            "id_a",
-            "id_b",
-            F.round(
-                inter / (F.size("sh_a") + F.size("sh_b") - inter), 6
-            ).alias("jaccard"),
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    mem2 = members.join(uniq.select("gk", "sz"), "gk")
+    x, y = mem2.alias("x"), mem2.alias("y")
+    intra = (
+        x.join(y, (F.col("x.gk") == F.col("y.gk")) & (F.col("x.id") < F.col("y.id")))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.when(F.col("x.sz") > 0, F.round(F.lit(1.0), 6)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+    return cross.unionByName(intra)

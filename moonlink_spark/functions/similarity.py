@@ -214,6 +214,51 @@ def lsh_topk(
     )
 
 
+def _embedding_rep_pairs(
+    df: DataFrame,
+    dim: int,
+    min_cos: float,
+    bits: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    hot_bucket_cap: int | None = None,
+):
+    """Collapsed core of embedding near-dup: identical vectors (exact-dup
+    images produce exact-dup embeddings — the viral-cluster case) group to
+    one representative before the LSH bucket self-join; the join runs over
+    DISTINCT vectors only (dedup.py's ``_banded_rep_pairs``). Returns
+    (members, verified): members (id, gk=the vector); verified
+    (gk_a, gk_b, rep_a, rep_b, cos) rep-level pairs with cos ≥ min_cos."""
+    from moonlink_spark.functions.dedup import _banded_rep_pairs
+
+    members = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("gk"))
+    uniq = members.groupBy("gk").agg(F.min("id").alias("rep"))
+    b = signed_projection_buckets(
+        uniq.select(F.col("rep").alias("id"), F.col("gk").alias("v")),
+        dim,
+        bits,
+        seed,
+        id_col="id",
+        vec_col="v",
+        num_tables=4,
+    )
+    banded = (
+        b.join(uniq.select(F.col("rep").alias("id"), "gk"), "id")
+        .select(
+            "gk",
+            F.col("id").alias("rep"),
+            F.col("table").alias("band"),
+            F.col("bucket").alias("key"),
+        )
+    )
+    rep_pairs = _banded_rep_pairs(banded, hot_bucket_cap, "embedding_near_dups")
+    verified = rep_pairs.withColumn(
+        "cos", F.round(cosine(F.col("gk_a"), F.col("gk_b")), 6)
+    ).filter(F.col("cos") >= min_cos)
+    return members, verified
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,
@@ -222,29 +267,39 @@ def embedding_near_dups(
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: bucket self-join + exact check."""
-    b = signed_projection_buckets(df, dim, bits, seed, id_col, vec_col, num_tables=4)
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
-        b, "id"
+    """Embedding-cosine near-duplicate pairs: bucket self-join + exact
+    check, collapsed on identical vectors (skew guard — see
+    ``_embedding_rep_pairs``). Output matches the uncollapsed join: buckets
+    and cosine are functions of the vector alone, and intra-group pairs
+    (identical vectors) score round(cos(v, v), 6) — 1.0 for any non-zero
+    vector, NULL (filtered) for the zero vector, same as before."""
+    members, verified = _embedding_rep_pairs(
+        df, dim, min_cos, bits, seed, id_col, vec_col, hot_bucket_cap
     )
-    pairs = (
-        v.alias("l")
-        .join(
-            v.alias("r"),
-            (F.col("l.table") == F.col("r.table"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
+    a = members.select(F.col("gk").alias("gk_a"), F.col("id").alias("_ia"))
+    b = members.select(F.col("gk").alias("gk_b"), F.col("id").alias("_ib"))
+    cross = (
+        verified.join(a, "gk_a")
+        .join(b, "gk_b")
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "cos",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    intra = (
+        x.join(y, (F.col("x.gk") == F.col("y.gk")) & (F.col("x.id") < F.col("y.id")))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.round(cosine(F.col("x.gk"), F.col("y.gk")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= min_cos)
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
+    return cross.unionByName(intra)
 
 
 def _centroids(corpus: DataFrame, dim: int, n_cells: int, seed: int,

@@ -36,10 +36,6 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from moonlink_spark.functions.dedup import (
-    phash_near_dup_pairs,
-    verified_near_dup_pairs,
-)
 from moonlink_spark.functions.text import normalize_text
 from moonlink_spark.operators.merge import MergeResult, merge_cdc_batch
 from moonlink_spark.schema import table_identity
@@ -86,26 +82,74 @@ def exact_duplicate_losers(df: DataFrame, key: str, text_col: str) -> DataFrame:
     )
 
 
+def _group_losers(members: DataFrame, verified: DataFrame, key: str,
+                  intra_valid=None) -> DataFrame:
+    """Loser ids from the COLLAPSED near-dup structure without ever
+    materializing member-level pairs.
+
+    ``members``: (id, gk, …) — gk the collapse key (identical gk ⇒ the
+    pair qualifies whenever ``intra_valid`` holds). ``verified``: rep-level
+    qualifying pairs (gk_a, gk_b, rep_a, rep_b). A member m is the LARGER
+    end of some qualifying member pair iff
+
+      m.id > min(own group)  (intra — the pair (min, m) qualifies)   OR
+      m.id > min(rep of a verified partner group)  (cross — it pairs with
+        EVERY member of the partner, in particular the partner's min)
+
+    so losers = exactly ``expanded_pairs.id_b.distinct()`` at
+    O(members + rep pairs) cost — a 10⁶-member viral cluster yields 10⁶-1
+    delete keys without 5·10¹¹ intermediate pairs."""
+    uniq = members.groupBy("gk").agg(F.min("id").alias("rep"))
+    pm = (
+        verified.select(F.col("gk_a").alias("gk"), F.col("rep_b").alias("pm"))
+        .unionByName(
+            verified.select(F.col("gk_b").alias("gk"), F.col("rep_a").alias("pm"))
+        )
+        .groupBy("gk")
+        .agg(F.min("pm").alias("pm"))
+    )
+    m = members.join(uniq, "gk").join(pm, "gk", "left")
+    intra_ok = F.lit(True) if intra_valid is None else intra_valid
+    cond = ((F.col("id") > F.col("rep")) & intra_ok) | (
+        F.col("pm").isNotNull() & (F.col("id") > F.col("pm"))
+    )
+    return m.filter(cond).select(F.col("id").alias(key)).distinct()
+
+
 def near_duplicate_losers(
     df: DataFrame, key: str, text_col: str, min_jaccard: float, **lsh_kw
 ) -> DataFrame:
     """Identity values that are the LARGER end of at least one verified
-    near-dup pair (greedy pairwise survivorship)."""
-    pairs = verified_near_dup_pairs(
+    near-dup pair (greedy pairwise survivorship) — computed group-wise, so
+    a viral cluster of identical texts never expands to pairs."""
+    from moonlink_spark.functions.dedup import _verified_rep_pairs
+
+    members, uniq, verified = _verified_rep_pairs(
         df, key, text_col, min_jaccard=min_jaccard, **lsh_kw
     )
-    return pairs.select(F.col("id_b").alias(key)).distinct()
+    m = members.join(uniq.select("gk", "sz"), "gk")
+    # intra pair (same shingle set) has jaccard exactly 1 when the set is
+    # non-empty, NULL (never qualifying) when empty — same as the formula
+    intra_ok = (F.col("sz") > 0) & F.lit(1.0 >= min_jaccard)
+    return _group_losers(m, verified, key, intra_valid=intra_ok)
 
 
 def phash_duplicate_losers(
     df: DataFrame, key: str, phash_col: str, max_hamming: int, **ph_kw
 ) -> DataFrame:
     """Identity values that are the LARGER end of at least one phash
-    near-dup pair (complete Hamming-LSH + exact verify — dedup.py)."""
-    pairs = phash_near_dup_pairs(
-        df, key, phash_col, max_hamming=max_hamming, **ph_kw
+    near-dup pair (complete Hamming-LSH + exact verify — dedup.py),
+    computed group-wise: identical phash values (THE north-rule hot key)
+    collapse before the band join and never expand to pairs here."""
+    from moonlink_spark.functions.dedup import _phash_rep_pairs
+
+    members, verified = _phash_rep_pairs(
+        df, key, phash_col, max_hamming,
+        ph_kw.pop("band_bits", 12), ph_kw.pop("bits", 60),
+        ph_kw.pop("hot_bucket_cap", None),
     )
-    return pairs.select(F.col("id_b").alias(key)).distinct()
+    # intra pairs have hamming 0 — always qualifying (max_hamming >= 0)
+    return _group_losers(members, verified, key)
 
 
 def dedupe_table(
@@ -145,22 +189,40 @@ def dedupe_table(
     elif strategy == "embedding":
         # embedding-cosine near-dup: text_col names an array<float> column;
         # LSH bucket self-join + exact cosine (functions/similarity.py),
-        # dim inferred from the first vector
-        from moonlink_spark.functions.similarity import embedding_near_dups
+        # dim inferred from the first non-null vector. Losers computed
+        # group-wise (identical vectors never expand to pairs).
+        from moonlink_spark.functions.similarity import (
+            _embedding_rep_pairs,
+            cosine,
+        )
 
-        first = df.select(F.size(text_col).alias("d")).first()
+        first = (
+            df.where(F.col(text_col).isNotNull())
+            .select(F.size(text_col).alias("d"))
+            .first()
+        )
         if first is None:
             losers = df.select(F.col(key)).limit(0)
+        elif int(first["d"]) <= 0:
+            raise ValueError(
+                f"embedding dedupe: column {text_col!r} has empty vectors "
+                "(size 0) — cannot infer an embedding dimension"
+            )
         else:
-            pairs = embedding_near_dups(
+            members, verified = _embedding_rep_pairs(
                 df,
                 dim=int(first["d"]),
                 min_cos=min_cos,
+                bits=lsh_kw.pop("bits", 10),
+                seed=lsh_kw.pop("seed", 11),
                 id_col=key,
                 vec_col=text_col,
                 **lsh_kw,
             )
-            losers = pairs.select(F.col("id_b").alias(key)).distinct()
+            # intra pair (identical vectors) qualifies iff round(cos(v,v),6)
+            # >= min_cos — 1.0 unless the zero vector (NULL, never qualifies)
+            intra_ok = F.round(cosine(F.col("gk"), F.col("gk")), 6) >= min_cos
+            losers = _group_losers(members, verified, key, intra_valid=intra_ok)
     else:
         raise ValueError(f"unknown dedupe strategy {strategy!r}")
 

@@ -68,13 +68,23 @@ def clean_metadata_versions(table: Table, keep_last: int | None = None) -> int:
     return deleted
 
 
-def clean_stale_stats(table: Table) -> int:
+#: stats-file GC grace: a concurrent analyze_table writes its puffin
+#: BEFORE the property CAS lands, so a no-grace sweep could delete the
+#: file in that window and leave statistics.path dangling. Same role as
+#: remove_orphan_files' grace-ms.
+STATS_GRACE_MS = 10 * 60 * 1000
+
+
+def clean_stale_stats(table: Table, grace_ms: int = STATS_GRACE_MS) -> int:
     """Delete ``stats-*.puffin`` statistics files not referenced by the
     current ``statistics.path`` property. analyze_table eagerly supersedes
     its predecessor, so garbage only exists after a crash between the
     puffin write and the property CAS (or between CAS and the eager
     delete) — this sweep is the backstop, run inside snapshot expiry like
-    the metadata-version GC."""
+    the metadata-version GC. Files younger than ``grace_ms`` are kept:
+    they may belong to an analyze whose CAS has not landed yet."""
+    import time as _time
+
     from moonlink_spark.operators.analyze import STATS_PATH_PROP
 
     table.refresh()
@@ -82,9 +92,13 @@ def clean_stale_stats(table: Table) -> int:
     import os as _os
 
     acc = accessor_for(table.metadata_dir)
+    cutoff = _time.time() - grace_ms / 1000.0
     deleted = 0
     for p in acc.list(table.metadata_dir, ".puffin"):
         if _os.path.basename(p).startswith("stats-") and p != current:
+            mt = acc.mtime(p)
+            if mt is not None and mt > cutoff:
+                continue  # in-flight analyze — inside the grace window
             acc.delete(p)
             deleted += 1
     return deleted

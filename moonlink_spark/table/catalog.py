@@ -309,11 +309,19 @@ class Table:
         removed_paths = removed_paths or set()
         referenced = set(referenced_data_paths or ())
         base_seq = self.md.last_sequence_number
+        # a callable lsn is re-evaluated against the REFRESHED table on each
+        # attempt — appenders that derive lsn = flush_lsn + 1 stay monotone
+        # even when a concurrent commit advanced the table between attempts
+        lsn = kwargs.pop("lsn", None)
         last: CommitConflict | None = None
         for _ in range(max(1, attempts)):
             try:
                 return self.commit(
-                    operation, added=added, removed_paths=removed_paths, **kwargs
+                    operation,
+                    added=added,
+                    removed_paths=removed_paths,
+                    lsn=lsn(self) if callable(lsn) else lsn,
+                    **kwargs,
                 )
             except CommitConflict as e:
                 last = e

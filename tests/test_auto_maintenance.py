@@ -199,6 +199,13 @@ def test_expiry_sweeps_orphaned_stats_files(spark, small_file_table):
     orphan = os.path.join(t.metadata_dir, "stats-99-deadbeef.puffin")
     with open(orphan, "wb") as f:
         f.write(b"PFA1junk")
+    # grace window: a FRESH unreferenced file is an in-flight analyze whose
+    # property CAS may not have landed yet — the sweep must keep it
+    assert clean_stale_stats(t) == 0
+    assert os.path.exists(orphan)
+    # backdated past the grace window it is a true crash leftover
+    old = os.path.getmtime(orphan) - 3600
+    os.utime(orphan, (old, old))
     assert clean_stale_stats(t) == 1
     assert not os.path.exists(orphan)
     assert os.path.exists(res.path)  # the referenced stats file survives
@@ -206,6 +213,8 @@ def test_expiry_sweeps_orphaned_stats_files(spark, small_file_table):
     # and expiry runs the sweep as part of its GC
     with open(orphan, "wb") as f:
         f.write(b"PFA1junk")
+    old = os.path.getmtime(orphan) - 3600
+    os.utime(orphan, (old, old))
     for lsn in (11, 12, 13):
         df = generate_images(spark, 30, partitions=1)
         t.commit("append", added=write_data_files(spark, df, t.new_data_dir()),

@@ -216,3 +216,115 @@ def test_phash_pairs_pigeonhole_completeness(spark):
         for a, b, hm in zip(pairs["id_a"], pairs["id_b"], pairs["hamming"])
     }
     assert h[(0, 1)] == 4 and h[(0, 2)] == 4 and h[(0, 3)] == 4
+
+
+def test_phash_viral_cluster_bounded(spark):
+    """Adversarial skew (VERDICT r4 #2): a 10^4-member viral cluster of
+    IDENTICAL phash values — the north-rule hot-key case. The collapsed
+    band join must finish in bounded time (the uncollapsed join would put
+    10^4 rows into the same bucket of every band: 5*10^8 joined rows
+    BEFORE the distinct) and the pair output must be exactly the expanded
+    cluster: C(c,2) hamming-0 intra pairs plus c cross pairs to the one
+    near neighbor, and nothing to the far value."""
+    import time
+
+    from moonlink_spark.functions.dedup import phash_near_dup_pairs
+    from moonlink_spark.operators.dedupe import phash_duplicate_losers
+
+    c = 10_000
+    P = 0x0123456789ABCD
+    near = P ^ 0x3          # hamming 2 — pairs with every member
+    far = P ^ ((1 << 40) - 1)  # hamming 40 — must not pair
+    df = (
+        spark.range(c).select(F.col("id"), F.lit(P).alias("phash"))
+        .unionByName(
+            spark.createDataFrame(
+                [(c, near), (c + 1, far)], "id long, phash long"
+            )
+        )
+    )
+    t0 = time.monotonic()
+    pairs = phash_near_dup_pairs(df, "id", max_hamming=4)
+    total = pairs.count()
+    by_h = {
+        r["hamming"]: r["n"]
+        for r in pairs.groupBy("hamming").agg(F.count("*").alias("n")).collect()
+    }
+    elapsed = time.monotonic() - t0
+    intra = c * (c - 1) // 2
+    assert by_h.get(0) == intra          # every identical pair, exactly once
+    assert by_h.get(2) == c              # each member x the near neighbor
+    assert total == intra + c            # nothing else (far value excluded)
+    assert elapsed < 240, f"viral cluster took {elapsed:.0f}s"
+
+    # the dedup loser path never expands intra pairs at all: losers are
+    # every member but the global min, plus the near neighbor
+    t1 = time.monotonic()
+    losers = phash_duplicate_losers(df, "id", "phash", max_hamming=4)
+    n_losers = losers.count()
+    loser_elapsed = time.monotonic() - t1
+    assert n_losers == c  # ids 1..c-1 (cluster) + id c (near neighbor)
+    assert losers.agg(F.min("id")).collect()[0][0] == 1
+    assert loser_elapsed < 60, f"loser path took {loser_elapsed:.0f}s"
+
+
+def test_minhash_viral_cluster_exact_output(spark):
+    """Identical-text viral cluster through the VERIFIED MinHash pipeline:
+    collapse on the shingle set must reproduce the exact expanded output —
+    every intra pair at jaccard 1.0 — and the loser path must skip the
+    expansion entirely."""
+    from moonlink_spark.functions.dedup import verified_near_dup_pairs
+    from moonlink_spark.operators.dedupe import near_duplicate_losers
+
+    c = 2_000
+    viral = "the same caption repeated everywhere on the internet today"
+    df = (
+        spark.range(c).select(F.col("id").alias("doc_id"), F.lit(viral).alias("text"))
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (c, "a completely different document about gardens"),
+                    (c + 1, "the same caption repeated everywhere on the internet right now"),
+                ],
+                "doc_id long, text string",
+            )
+        )
+    )
+    pairs = verified_near_dup_pairs(df, "doc_id", "text", min_jaccard=0.5)
+    intra = c * (c - 1) // 2
+    stats = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("jaccard") == 1.0, 1).otherwise(0)).alias("ones"),
+    ).collect()[0]
+    # all intra pairs at exactly 1.0; the near-text may or may not clear
+    # 0.5 via its cross pairs, the garden doc must contribute nothing
+    assert stats["ones"] == intra
+    cross = pairs.filter(F.col("jaccard") < 1.0)
+    assert cross.filter((F.col("id_a") == c) | (F.col("id_b") == c)).count() == 0
+
+    losers = near_duplicate_losers(df, "doc_id", "text", min_jaccard=0.5)
+    ids = {r["doc_id"] for r in losers.collect()}
+    assert set(range(1, c)) <= ids     # every cluster member but the min
+    assert 0 not in ids and c not in ids
+
+
+def test_embedding_viral_cluster(spark):
+    """Identical embeddings (exact-dup images) collapse before the LSH
+    bucket self-join; pair output and group-min losers stay exact."""
+    from moonlink_spark.functions.similarity import embedding_near_dups
+
+    c = 1_000
+    vec = [0.5, -0.25, 0.125, 1.0]
+    rows = [(i, vec) for i in range(c)] + [
+        (c, [5.0, 1.0, -2.0, 0.25]),          # unrelated direction
+        (c + 1, [1.0, -0.5, 0.25, 2.0]),      # same direction as vec (cos 1)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dups(df, dim=4, min_cos=0.999)
+    intra = c * (c - 1) // 2
+    n = pairs.count()
+    # all intra pairs + c cross pairs to the colinear vector; none to the
+    # unrelated one (subject to LSH bucketing for CROSS pairs — colinear
+    # vectors share every sign bucket, so those c pairs are guaranteed)
+    assert n == intra + c
+    assert pairs.filter((F.col("id_a") == c) | (F.col("id_b") == c)).count() == 0
