@@ -336,6 +336,61 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_topk(emb, q, k=3).select("query_id", "neighbor_id", "rank")
 
 
+def q_engine_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: IVF as a table layout (operators/ivf.py) — the
+    embeddings corpus loaded into an engine table, rewritten cell-ordered
+    with the centroid matrix pinned in table properties (build/probe
+    symmetry — the invariant moonlink pins per persisted index file,
+    persisted_bucket_hash_map.rs:73-93), then probed top-k through ONE
+    interval-union planning pass (table/scan.scan_values, VERDICT r4 #4).
+
+    Every stage is a closed SQL form, so this gets an EXACT DuckDB oracle:
+    centroids = first 8 corpus vectors ordered by the engine-portable
+    md5("<vec_id>-<seed>"); cell = argmax cosine with smallest-cell
+    tie-break; probe = each query's 3 nearest cells; re-rank =
+    round(cosine, 6) DESC with neighbor_id tie-break. Output ranks only
+    (raw float cosines are engine-rounding-sensitive)."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from moonlink_spark.operators.ivf import ivf_index_table, ivf_topk_table
+    from moonlink_spark.schema import IDENTITY_PROP
+    from moonlink_spark.table.catalog import create_table
+    from moonlink_spark.table.writer import write_data_files
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+    wd = tempfile.mkdtemp(prefix="moonlink_ivf_")
+    t = create_table(
+        f"{wd}/tbl", schema, properties={IDENTITY_PROP: "vec_id"}
+    )
+    t.commit(
+        "append",
+        added=write_data_files(
+            spark, emb, t.new_data_dir(), field_id_schema=t.schema
+        ),
+        lsn=1,
+    )
+    ivf_index_table(spark, t, dim=64, n_cells=8, seed=13, target_bytes=64 << 10)
+    t.refresh()
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk_table(spark, t, queries, k=3, n_probe=3).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine op: MinHash+LSH near-dup candidates (dedup.py). The signature
     hashes are engine-portable (md5-derived + seeded affine permutations
@@ -1630,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_rest_scan": q_engine_rest_scan,
         "engine_pg_cdc": q_engine_pg_cdc,
         "engine_dedupe_scan": q_engine_dedupe_scan,
+        "engine_ivf_topk": q_engine_ivf_topk,
     }
 
 
@@ -2250,6 +2306,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n.doc_id, n.lang, n.source
             FROM norm n JOIN keep k ON n.doc_id = k.doc_id
+        """,
+        "engine_ivf_topk": """
+            WITH cent AS (
+                SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT)
+                           AS cell,
+                       embedding
+                FROM (
+                    SELECT md5(CAST(vec_id AS VARCHAR) || '-13') AS h,
+                           embedding
+                    FROM embeddings ORDER BY h LIMIT 8
+                )
+            ), corpus_cells AS (
+                SELECT vec_id, embedding, cell FROM (
+                    SELECT e.vec_id, e.embedding, c.cell,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   CAST(e.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])) DESC,
+                               c.cell) AS rn
+                    FROM embeddings e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ), qprobe AS (
+                SELECT query_id, cell FROM (
+                    SELECT q.vec_id AS query_id, c.cell,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   CAST(q.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])) DESC,
+                               c.cell) AS pr
+                    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5
+                ) WHERE pr <= 3
+            ), cand AS (
+                SELECT p.query_id, q.embedding AS qv,
+                       cc.vec_id AS neighbor_id, cc.embedding AS cv
+                FROM qprobe p
+                JOIN embeddings q ON q.vec_id = p.query_id
+                JOIN corpus_cells cc ON cc.cell = p.cell
+                WHERE cc.vec_id <> p.query_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(qv AS DOUBLE[]),
+                               CAST(cv AS DOUBLE[])), 6) DESC,
+                           neighbor_id) AS rank
+                FROM cand
+            ) WHERE rank <= 3
         """,
         "engine_pg_cdc": _LIFECYCLE_BASE_SQL + """
             SELECT CAST(k AS VARCHAR) AS image_id,

