@@ -62,6 +62,13 @@ _BROADCAST_CDC_ROWS = 1_000_000
 # uniform batch almost certainly touches every file anyway.
 _BLOOM_PROBE_MAX_KEYS = 2_000_000
 
+# Small-batch fast path: below this many winner rows, the batch statistics
+# (counts, per-column bounds, bucket set, skew, null check) AND the bloom
+# key hashes come back in ONE driver fetch (~300B/row ⇒ ≤30MB) instead of
+# one agg job plus one hash job — at streaming micro-batch cadence those
+# two near-empty 64-task jobs are a large slice of the merge fixed cost.
+_SMALL_BATCH_DRIVER_ROWS = 100_000
+
 # table property declaring the default MERGE mode ("eager" | "lazy") — the
 # per-table analog of moonlink's table-level config block
 # (mooncake_table_config.rs): hot ingest tables declare "lazy" once and
@@ -79,6 +86,63 @@ def _estimate_row_bytes(table: Table, override: int | None) -> int:
     if not rows:
         return 4096
     return max(64, sum(e.file_size_bytes for e in entries) // rows)
+
+
+def _small_batch_stats(winners, keys, boundable, null_key, buckets):
+    """ONE driver fetch replacing the stats-agg job AND the bloom key-hash
+    job for batches of at most ``_SMALL_BATCH_DRIVER_ROWS`` winner rows:
+    selects (keys, op, null-flag[, bucket, key-hash]) limited to cap+1 —
+    if the limit is hit the batch is large and the caller falls back to the
+    aggregate path (returns None; large batches amortize their two jobs).
+    Returns (n_cdc, n_up, n_null_key, bounds, batch_buckets, skew_ratio,
+    key_hashes)."""
+    import numpy as np
+    import pandas as pd
+
+    cols = [
+        *[F.col(k) for k in keys],
+        F.col(ORD_COL)["op"].alias("__op"),
+        null_key.cast("int").alias("__nullk"),
+    ]
+    if buckets:
+        cols.append(bucket_expr(keys, buckets).alias("__bk"))
+        cols.append(F.xxhash64(*[F.col(k) for k in keys]).alias("__h"))
+    pdf = winners.select(*cols).limit(_SMALL_BATCH_DRIVER_ROWS + 1).toPandas()
+    if len(pdf) > _SMALL_BATCH_DRIVER_ROWS:
+        return None
+    n_cdc = len(pdf)
+    n_up = int((pdf["__op"] == "U").sum())
+    n_null_key = int(pdf["__nullk"].sum())
+
+    def _py(v):
+        """pandas/numpy scalar → the plain Python value the Spark-row agg
+        path would have produced (F.lit must see native types)."""
+        if v is None or (isinstance(v, float) and v != v):
+            return None
+        if isinstance(v, np.generic):
+            v = v.item()
+        if isinstance(v, pd.Timestamp):
+            return v.to_pydatetime()
+        return v
+
+    bounds = []
+    for k in boundable:
+        s = pdf[k].dropna()
+        bounds.append(
+            (k, _py(s.min()), _py(s.max())) if len(s) else (k, None, None)
+        )
+    batch_buckets = None
+    skew_ratio = None
+    key_hashes = None
+    if buckets:
+        bk = pdf["__bk"]
+        batch_buckets = {int(b) for b in bk.unique()}
+        if n_cdc:
+            skew_ratio = round(
+                float(bk.value_counts().max()) * bk.nunique() / n_cdc, 3
+            )
+        key_hashes = pdf["__h"].to_numpy()
+    return n_cdc, n_up, n_null_key, bounds, batch_buckets, skew_ratio, key_hashes
 
 
 @dataclass
@@ -174,7 +238,14 @@ def merge_cdc_batch(
         *[F.max(k).alias(f"__hi_{k}") for k in boundable],
     ]
     skew_ratio = None
-    if use_layout:
+    key_hashes = None  # filled by the small-batch path; else fetched later
+    small = _small_batch_stats(
+        winners, keys, boundable, null_key, buckets if use_layout else None
+    )
+    if small is not None:
+        (n_cdc, n_up, n_null_key, bounds, batch_buckets,
+         skew_ratio, key_hashes) = small
+    elif use_layout:
         # the SAME single job, grouped by key bucket: yields the batch's
         # bucket set, per-bucket row counts — the phash-hot-key skew signal
         # the checkpoint metrics record — and global bounds folded from
@@ -187,7 +258,7 @@ def merge_cdc_batch(
         n_cdc = sum(r["n"] for r in per_b)
         n_up = sum(r["n_up"] for r in per_b)
         n_null_key = sum(r["n_null_key"] for r in per_b)
-        batch_buckets: set[int] | None = {r["__bk"] for r in per_b}
+        batch_buckets = {r["__bk"] for r in per_b}
 
         def _fold(col: str, fn):
             vals = [r[col] for r in per_b if r[col] is not None]
@@ -214,6 +285,8 @@ def merge_cdc_batch(
         )
     deduped = staged.join(winners, [*keys, ORD_COL], "left_semi").drop(ORD_COL)
 
+    row_bytes = _estimate_row_bytes(table, avg_row_bytes)
+
     def _write_upserts() -> list[FileEntry]:
         if n_up == 0:
             return []
@@ -227,7 +300,18 @@ def merge_cdc_batch(
         # split (mooncake_table_config.rs:24 vs compaction_config.rs:52).
         # Inserts are NOT bucketed at flush time: that would shuffle the
         # payload on the ingest hot path; compaction bucketizes later.
-        rpf = max(256, FLUSH_TARGET_BYTES // _estimate_row_bytes(table, avg_row_bytes))
+        rpf = max(256, FLUSH_TARGET_BYTES // row_bytes)
+        est_bytes = n_up * row_bytes
+        if est_bytes < FLUSH_TARGET_BYTES:
+            # micro-batch flush (streaming cadence): scheduling one near-
+            # empty write task per input partition — and then footer-reading
+            # the up-to-64 one-row files it emits — IS the merge fixed cost
+            # at this size. A no-shuffle coalesce bounds the write to a few
+            # tasks sized by estimated bytes. Batches of at least one
+            # target file's worth keep their partitioning (the rule above).
+            ups = ups.coalesce(
+                max(1, int(est_bytes // (FLUSH_TARGET_BYTES // 8)) + 1)
+            )
         entries = write_data_files(
             spark,
             ups,
@@ -325,11 +409,12 @@ def merge_cdc_batch(
     if use_layout and candidates and n_cdc <= _BLOOM_PROBE_MAX_KEYS and any(
         BLOOM_STAT in e.stats for e in candidates
     ):
-        key_hashes = (
-            winners.select(F.xxhash64(*[F.col(k) for k in keys]).alias("h"))
-            .toPandas()["h"]
-            .to_numpy()
-        )
+        if key_hashes is None:  # large batch — the small path didn't run
+            key_hashes = (
+                winners.select(F.xxhash64(*[F.col(k) for k in keys]).alias("h"))
+                .toPandas()["h"]
+                .to_numpy()
+            )
         # self-selects: driver numpy for small candidate lists, one Spark
         # job (O(survivors) driver) past DISTRIBUTED_PROBE_MIN
         candidates = prune_by_bloom_distributed(spark, candidates, key_hashes)
@@ -365,11 +450,21 @@ def merge_cdc_batch(
         del_entries = ckpt.run("deletes", write_deletes, sources=src).entries
         t1 = time.perf_counter()
         ins_entries = ckpt.run("inserts", _write_upserts, sources=["cdc"]).entries
+        t2 = time.perf_counter()
     else:
-        del_entries = write_deletes()
-        t1 = time.perf_counter()
-        ins_entries = _write_upserts()
-    t2 = time.perf_counter()
+        # the two write jobs are independent (probe+DV pack reads existing
+        # files; the insert write reads only the cached batch) — run them as
+        # concurrent Spark jobs from two driver threads. At micro-batch
+        # cadence this folds one job's fixed cost into the other's wall
+        # time; at bench scale it overlaps probe IO with payload writing.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_write_upserts)
+            del_entries = write_deletes()
+            t1 = time.perf_counter()
+            ins_entries = fut.result()
+        t2 = time.perf_counter()
 
     n_upserted = sum(e.record_count for e in ins_entries)
     n_matched = sum(e.record_count for e in del_entries)
