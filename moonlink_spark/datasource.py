@@ -82,6 +82,17 @@ class MoonlinkPartition(InputPartition):
     # the augmented read schema: projection + identity for eq anti-joins)
     preimage: list | None = None  # dv-pre only: materialize just these
     # columns (others NULL) — the scan_changes preimage_columns contract
+    members: list | None = None  # kind='data-group': the per-file 'data'
+    # partitions this input split covers (small files grouped to
+    # ~GROUP_TARGET_BYTES so a 10^9-file table does not mean 10^9 Spark
+    # partitions; each member keeps its own eq-file list/seq rule)
+
+
+#: input-split target for the batch read: data files are bin-packed into
+#: partitions of roughly this many bytes (one partition per LARGE file
+#: still) — the Python DataSource analog of
+#: ``spark.sql.files.maxPartitionBytes`` grouping
+GROUP_TARGET_BYTES = 128 * 1024 * 1024
 
 
 # ------------------------------------------------------------ executor side
@@ -192,6 +203,10 @@ def _eq_key_rows(eq_files: list, identity: list):
 
 def _read_partition(p: MoonlinkPartition):
     """Yield Arrow RecordBatches for one partition."""
+    if p.kind == "data-group":
+        for m in p.members:
+            yield from _read_partition(m)
+        return
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -292,6 +307,26 @@ def _read_partition(p: MoonlinkPartition):
         resolved = resolved.append_column(
             CHANGE_TYPE_COL, pa.array([op] * n, type=pa.string())
         ).append_column(CHANGE_LSN_COL, pa.array([lsn] * n, type=pa.int64()))
+    # normalize the batch schema: joins/selects flip nullability and strip
+    # field metadata differently per file, and Arrow's collect stream
+    # requires every batch of one partition to carry the IDENTICAL schema —
+    # load-bearing for grouped input splits, which interleave many files
+    from pyspark.sql.pandas.types import to_arrow_schema as _tas
+
+    by = {f.name: f for f in _tas(out_schema)}
+    uniform = pa.schema(
+        [
+            pa.field(
+                n,
+                pa.string() if n == CHANGE_TYPE_COL
+                else pa.int64() if n == CHANGE_LSN_COL
+                else by[n].type,
+                nullable=True,
+            )
+            for n in resolved.column_names
+        ]
+    )
+    resolved = resolved.cast(uniform)
     for b in resolved.to_batches(max_chunksize=65536):
         yield b
 
@@ -400,6 +435,19 @@ def _prune_open(entries, col: str, lo, hi):
     return out
 
 
+def _group(members: list) -> "MoonlinkPartition":
+    """Wrap per-file 'data' partitions into one 'data-group' input split."""
+    head = members[0]
+    return MoonlinkPartition(
+        kind="data-group",
+        data_path=None,
+        schema_json=head.schema_json,
+        name_to_id=head.name_to_id,
+        identity=head.identity,
+        members=members,
+    )
+
+
 class MoonlinkBatchReader(DataSourceReader):
     def __init__(self, options):
         from moonlink_spark.table.format import DATA, DELETES, EQ_DELETES
@@ -481,20 +529,39 @@ class MoonlinkBatchReader(DataSourceReader):
         entries = self._entries
         for col, (lo, hi) in self._bounds.items():
             entries = _prune_open(entries, col, lo, hi)
-        return [
-            MoonlinkPartition(
-                kind="data",
-                data_path=e.path,
-                schema_json=schema_json,
-                name_to_id=name_to_id,
-                identity=identity,
-                dv_files=dv,
-                eq_files=[p for p, seq in eqs if seq > e.sequence_number],
-                bounds=self._bounds or None,
-                project=project,
+        per_file = [
+            (
+                e.file_size_bytes,
+                MoonlinkPartition(
+                    kind="data",
+                    data_path=e.path,
+                    schema_json=schema_json,
+                    name_to_id=name_to_id,
+                    identity=identity,
+                    dv_files=dv,
+                    eq_files=[p for p, seq in eqs if seq > e.sequence_number],
+                    bounds=self._bounds or None,
+                    project=project,
+                ),
             )
             for e in entries
         ]
+        # bin-pack small files into ~GROUP_TARGET_BYTES input splits (first
+        # fit in manifest order — files committed together stay together):
+        # bounds the partition count by table BYTES, not table FILES, so a
+        # fragmented 10^9-file table still reads through format("moonlink")
+        out: list[MoonlinkPartition] = []
+        cur: list[MoonlinkPartition] = []
+        cur_bytes = 0
+        for size, part in per_file:
+            if cur and cur_bytes + size > GROUP_TARGET_BYTES:
+                out.append(cur[0] if len(cur) == 1 else _group(cur))
+                cur, cur_bytes = [], 0
+            cur.append(part)
+            cur_bytes += size
+        if cur:
+            out.append(cur[0] if len(cur) == 1 else _group(cur))
+        return out
 
     def read(self, partition):
         return _read_partition(partition)

@@ -215,9 +215,20 @@ def test_batch_filter_pushdown_prunes_files(spark, tmp_path):
     )
     t.commit("append", added=entries, lsn=1)
 
-    # planner-level: bounds shrink the partition list
+    # planner-level: bounds shrink the planned FILE list (partitions are
+    # bin-packed groups since round 5, so count member files, not splits)
+    def _files(parts):
+        out = []
+        for p in parts:
+            out += (
+                [m.data_path for m in p.members]
+                if p.kind == "data-group"
+                else [p.data_path]
+            )
+        return out
+
     r = MoonlinkBatchReader({"path": t.location})
-    assert len(r.partitions()) == 8
+    assert len(_files(r.partitions())) == 8
     from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
 
     returned = list(
@@ -229,7 +240,7 @@ def test_batch_filter_pushdown_prunes_files(spark, tmp_path):
         )
     )
     assert len(returned) == 2  # everything handed back to Spark
-    pruned = r.partitions()
+    pruned = _files(r.partitions())
     assert 0 < len(pruned) < 8
 
     # end-to-end: same rows as the engine scan with the same predicate
@@ -438,3 +449,26 @@ def test_stream_cdc_events(spark, dstable, tmp_path):
     assert len(all_ev) == len(ev) + len(ev2)  # no replay of lsn<=2
     assert len(ev2[ev2["_change_type"] == "insert"]) == 10
     assert len(ev2[ev2["_change_type"] == "delete"]) == 20
+
+
+def test_partition_grouping_bounds_split_count(spark, dstable):
+    """Small files bin-pack into ~128MB input splits (ADVICE r4 #7): the
+    batch read must NOT create one Spark partition per data file, and the
+    grouped read must return exactly the ungrouped content."""
+    from moonlink_spark.datasource import MoonlinkBatchReader
+
+    t = dstable
+    reader = MoonlinkBatchReader({"path": t.location})
+    parts = reader.partitions()
+    n_files = len(t.data_entries())
+    assert n_files > 1
+    # all files here are tiny -> they all fit one 128MB split
+    assert len(parts) == 1 and parts[0].kind == "data-group"
+    assert len(parts[0].members) == n_files
+
+    got = (
+        spark.read.format("moonlink").load(t.location)
+        .select(*COLS).orderBy("image_id").collect()
+    )
+    want = scan(spark, t).select(*COLS).orderBy("image_id").collect()
+    assert got == want
