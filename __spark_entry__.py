@@ -619,6 +619,28 @@ def _build_lifecycle_table(
 _LIFECYCLE_COLS = ["image_id", "caption", "phash"]
 
 
+def q_engine_iceberg_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine e2e: the full MERGE lifecycle table EXPORTED as a genuine
+    Apache Iceberg v2 table (operators/publish.py — real Avro manifests +
+    manifest list + metadata.json + version-hint, DVs converted to
+    standard position-delete parquet with the spec's reserved field ids),
+    then scanned back through read_published, which plans from the
+    PUBLISHED metadata only — no engine metadata in the read path. This is
+    the external-interop face the reference leads with (README.md:84-105:
+    the maintained table is a standard Iceberg table other engines read
+    directly; iceberg_table_manager.rs:29-32). The oracle is the same
+    closed form as engine_merge_scan: publishing must change NOTHING about
+    the table's logical content."""
+    import tempfile
+
+    from moonlink_spark.operators.publish import publish_iceberg, read_published
+
+    t = _lifecycle_table(spark, sf_dir)
+    dest = tempfile.mkdtemp(prefix="moonlink_pub_") + "/iceberg"
+    publish_iceberg(spark, t, dest)
+    return read_published(spark, dest).select(*_LIFECYCLE_COLS)
+
+
 def q_engine_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine e2e: append + 2 MERGE CDC batches (upsert/delete, positional
     deletes, DV-aware scan) → final snapshot content. The lifecycle base runs on
@@ -1686,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_pg_cdc": q_engine_pg_cdc,
         "engine_dedupe_scan": q_engine_dedupe_scan,
         "engine_ivf_topk": q_engine_ivf_topk,
+        "engine_iceberg_publish": q_engine_iceberg_publish,
     }
 
 
@@ -1966,6 +1989,17 @@ def oracle_sql() -> dict[str, str]:
         # state after rollback-to-LSN-2 + corrected replay at LSN 3: batch
         # 2's effects (v3 updates, k%7=5 deletes, k%10=7 inserts) are GONE;
         # the replay's update/delete/insert classes apply on the b1 state
+        "engine_iceberg_publish": _LIFECYCLE_BASE_SQL + """
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
+                        WHEN k % 10 < 3 AND k % 7 = 4 THEN c || ' v3'
+                        ELSE c END AS caption,
+                   ph AS phash
+            FROM base
+            WHERE (k % 10 < 3 AND k % 7 NOT IN (2, 5))
+               OR (k % 10 = 5 AND k % 3 = 0)
+               OR (k % 10 = 7 AND k % 3 = 1)
+        """,
         "engine_rollback_scan": _LIFECYCLE_BASE_SQL + """
             SELECT CAST(k AS VARCHAR) AS image_id,
                    CASE WHEN k % 10 < 3 AND k % 7 = 1 THEN c || ' v2'
