@@ -59,6 +59,22 @@ class StorageAccessor(ABC):
     def create_exclusive(self, path: str, data: str) -> None:
         """Atomically create ``path`` iff absent; raise CasConflict else."""
 
+    def cas_capability(self) -> str:
+        """How strong this accessor's ``create_exclusive`` is:
+
+        - ``"atomic"`` — a true compare-and-set (O_EXCL, conditional PUT,
+          rename-without-overwrite): concurrent writers are safe.
+        - ``"check-then-put"`` — exists-check followed by a write, with a
+          race window: multi-writer use REQUIRES external coordination
+          (single-writer-per-table discipline). Accessors in this mode
+          warn loudly on first use; the commit contract tests parametrize
+          over this probe (tests/test_concurrency.py).
+
+        This is the engine's face of the per-backend CAS seam moonlink
+        plugs catalogs into (file_catalog.rs:694-778: S3 If-None-Match /
+        GCS if-generation-match conditional PUT)."""
+        return "atomic"
+
     @abstractmethod
     def list(self, prefix: str, suffix: str = "") -> list[str]:
         """All object paths under ``prefix`` (recursive), sorted."""
@@ -281,10 +297,52 @@ class PyArrowFSAccessor(StorageAccessor):
             with self._fs.open_output_stream(inner) as f:
                 f.write(data)
 
+    _warned_nonatomic = False
+
+    def cas_capability(self) -> str:
+        # local: O_EXCL below is a true CAS. hdfs/viewfs: tmp + rename and
+        # HDFS rename does not overwrite. Object stores through pyarrow:
+        # no conditional-PUT surface (S3 If-None-Match / GCS
+        # if-generation-match are the per-store seam, reference
+        # file_catalog.rs:694-778) — check-then-put with a race window.
+        if self._fs.type_name == "local" or self._fs.type_name in self._ATOMIC_MOVE:
+            return "atomic"
+        return "check-then-put"
+
     def create_exclusive(self, path: str, data: str) -> None:
+        inner = self._inner(path)
+        if self._fs.type_name == "local":
+            # genuine O_CREAT|O_EXCL on the underlying path — previously
+            # even file:// URIs through this accessor were check-then-put
+            try:
+                fd = os.open(inner, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError as e:
+                raise CasConflict(path) from e
+            with os.fdopen(fd, "w") as f:
+                f.write(data)
+            return
+        if self.cas_capability() != "atomic" and not PyArrowFSAccessor._warned_nonatomic:
+            PyArrowFSAccessor._warned_nonatomic = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s store exposes no conditional PUT through pyarrow.fs: "
+                "metadata CAS falls back to check-then-put (SINGLE-WRITER "
+                "mode — concurrent commits from separate processes can "
+                "race). Use a store-native conditional-PUT catalog for "
+                "multi-writer deployments.",
+                self._fs.type_name,
+            )
         if self.exists(path):
             raise CasConflict(path)
-        self.write_atomic(path, data)
+        if self._fs.type_name in self._ATOMIC_MOVE:
+            # rename refuses to overwrite on HDFS-like stores → exclusive
+            tmp = f"{inner}.{uuid.uuid4().hex[:8]}.tmp"
+            with self._fs.open_output_stream(tmp) as f:
+                f.write(data.encode())
+            self._fs.move(tmp, inner)
+        else:
+            self.write_atomic(path, data)
 
     def list(self, prefix: str, suffix: str = "") -> list[str]:
         from pyarrow import fs as pafs
@@ -360,6 +418,9 @@ class RetryAccessor(StorageAccessor):
         self.attempts = attempts
         self.base_delay_s = base_delay_s
         self.retryable = retryable
+
+    def cas_capability(self):
+        return self.inner.cas_capability()
 
     def _call(self, fn, *args):
         import time as _time
@@ -448,6 +509,9 @@ class ChaosAccessor(StorageAccessor):
     def create_exclusive(self, path, data):
         self._maybe_fail("create", path)
         return self.inner.create_exclusive(path, data)
+
+    def cas_capability(self):
+        return self.inner.cas_capability()
 
     def list(self, prefix, suffix=""):
         self._maybe_fail("list", prefix)

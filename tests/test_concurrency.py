@@ -181,3 +181,67 @@ def test_attempts_exhausted_reraises_commit_conflict(loc):
             b.commit_with_retry("append", added=[_entry("b")], attempts=3)
     finally:
         type(b).refresh = orig_refresh
+
+
+@pytest.mark.parametrize(
+    "mk_loc",
+    [
+        lambda tmp: f"mem://cas-{uuid.uuid4().hex[:8]}/tbl",   # conditional PUT
+        lambda tmp: f"file://{tmp}/cas_tbl",                   # pyarrow O_EXCL
+        lambda tmp: str(tmp / "cas_plain"),                    # local O_EXCL
+    ],
+    ids=["mem-conditional-put", "pyarrow-local", "plain-local"],
+)
+def test_cas_contract_per_capability(tmp_path, mk_loc):
+    """The commit CAS contract, parametrized over the accessor capability
+    probe (VERDICT r4 #6): every accessor that reports 'atomic' must
+    enforce exclusive creation; capability is introspectable so deployers
+    can refuse multi-writer mode on check-then-put stores."""
+    from moonlink_spark.table.io import CasConflict, accessor_for
+
+    loc = mk_loc(tmp_path)
+    acc = accessor_for(loc)
+    assert acc.cas_capability() == "atomic"
+    a, b = _two_handles(loc)
+    a.commit("append", added=[_entry("a")])
+    with pytest.raises(CommitConflict):
+        b.commit("append", added=[_entry("b")])
+    # raw primitive, same contract
+    key = f"{loc}/metadata/probe-{uuid.uuid4().hex[:6]}"
+    acc.mkdirs(f"{loc}/metadata")
+    acc.create_exclusive(key, "x")
+    with pytest.raises(CasConflict):
+        acc.create_exclusive(key, "y")
+
+
+def test_check_then_put_fallback_warns_loudly(tmp_path, caplog, monkeypatch):
+    """An object store without a conditional-PUT surface must degrade to
+    check-then-put VISIBLY: capability reports it, the first exclusive
+    create logs a single-writer-mode warning, and existing objects still
+    conflict (best-effort)."""
+    import logging
+
+    from moonlink_spark.table.io import CasConflict, PyArrowFSAccessor
+
+    acc = PyArrowFSAccessor(f"file://{tmp_path}")
+    monkeypatch.setattr(acc, "cas_capability", lambda: "check-then-put")
+    monkeypatch.setattr(PyArrowFSAccessor, "_warned_nonatomic", False)
+    # drop off the O_EXCL fast path the way a real object store would
+    monkeypatch.setattr(
+        PyArrowFSAccessor, "_ATOMIC_MOVE", frozenset(), raising=False
+    )
+    class _S3Like:
+        type_name = "s3-like"
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    acc._fs = _S3Like(acc._fs)
+    with caplog.at_level(logging.WARNING, logger="moonlink_spark.table.io"):
+        acc.create_exclusive(f"file://{tmp_path}/k1", "v")
+    assert any("SINGLE-WRITER" in r.message for r in caplog.records)
+    with pytest.raises(CasConflict):
+        acc.create_exclusive(f"file://{tmp_path}/k1", "v2")
