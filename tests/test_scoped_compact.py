@@ -22,7 +22,16 @@ def _mk(spark, tmp_path, batches=4, n=120):
     for _ in range(batches):
         b = gen.next_batch(n, 15, 0)
         ref.apply(b)
-        merge_cdc_batch(spark, t, to_spark(spark, b), gen.commit_lsn)
+        # avg_row_bytes = flush target: opts out of the micro-batch
+        # coalesce so each commit keeps the input's range-partitioned
+        # files — this fixture's scope assertions need files with NARROW
+        # image_id ranges, the layout a real (full-size) flush produces
+        from moonlink_spark.table.writer import FLUSH_TARGET_BYTES
+
+        merge_cdc_batch(
+            spark, t, to_spark(spark, b), gen.commit_lsn,
+            avg_row_bytes=FLUSH_TARGET_BYTES,
+        )
     return t, ref
 
 
