@@ -181,6 +181,30 @@ def cmd_dedupe(args) -> int:
     return 0
 
 
+def cmd_publish(args) -> int:
+    """Export a snapshot as a genuine Apache Iceberg v2 table
+    (operators/publish.py) — the external-engine interop face."""
+    from moonlink_spark.operators.publish import publish_iceberg
+    from moonlink_spark.table.catalog import load_table
+
+    spark = _spark(args)
+    t = load_table(args.location)
+    res = publish_iceberg(spark, t, args.dest, snapshot_id=args.snapshot_id)
+    print(
+        json.dumps(
+            {
+                "published": args.dest,
+                "metadata": res.metadata_path,
+                "snapshot_id": res.snapshot_id,
+                "data_files": res.data_files,
+                "pos_delete_files": res.pos_delete_files,
+                "eq_delete_files": res.eq_delete_files,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_analyze(args) -> int:
     from moonlink_spark.operators.analyze import analyze_table
     from moonlink_spark.table.catalog import load_table
@@ -373,6 +397,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("location")
     s.add_argument("--columns", default=None)
     s.set_defaults(fn=cmd_analyze)
+
+    s = sub.add_parser("publish")
+    s.add_argument("location")
+    s.add_argument("dest")
+    s.add_argument("--snapshot-id", type=int, default=None)
+    s.set_defaults(fn=cmd_publish)
 
     s = sub.add_parser("orphans")
     s.add_argument("location"); s.add_argument("--apply", action="store_true")

@@ -575,11 +575,25 @@ def publish_iceberg(
         "statistics": [],
     }
     assert all_nested  # schema serialized above; keep linters honest
-    md_path = os.path.join(meta_dir, "v1.metadata.json")
+    # re-publish increments the metadata version: vN+1.metadata.json is
+    # written FIRST, then the version-hint flips atomically — a reader
+    # following the hint always sees a complete metadata object
+    hint_path = os.path.join(meta_dir, "version-hint.text")
+    version = 1
+    if acc.exists(hint_path):
+        try:
+            version = int(acc.read_text(hint_path).strip()) + 1
+        except ValueError:
+            version = 1
+        prev = os.path.join(meta_dir, f"v{version - 1}.metadata.json")
+        if acc.exists(prev):
+            md["metadata-log"] = [
+                {"timestamp-ms": now_ms(), "metadata-file": prev}
+            ]
+    md_path = os.path.join(meta_dir, f"v{version}.metadata.json")
     with open(md_path, "w") as f:
         json.dump(md, f, indent=2)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write("1")
+    acc.write_atomic(hint_path, str(version))
     return PublishResult(
         location=dest,
         metadata_path=md_path,

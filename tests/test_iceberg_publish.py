@@ -337,3 +337,56 @@ def test_publish_snapshot_pinning_and_time_travel(spark, tmp_path):
     assert read_published(spark, res_old.location).count() == 50
     got = read_published(spark, res_new.location).count()
     assert got == scan(spark, t).count() < 50 + 10
+
+
+def test_republish_increments_metadata_version(spark, tmp_path):
+    """Re-publishing after new commits writes vN+1.metadata.json and flips
+    the version-hint atomically; readers follow the hint to fresh state."""
+    t = create_table(str(tmp_path / "src3"), IMAGES_SCHEMA)
+    from moonlink_spark.table.writer import write_data_files
+
+    t.commit(
+        "append",
+        added=write_data_files(
+            spark, _rows(spark, 40), t.new_data_dir(), field_id_schema=t.schema
+        ),
+        lsn=1,
+    )
+    dest = str(tmp_path / "pub3")
+    publish_iceberg(spark, t, dest)
+    assert read_published(spark, dest).count() == 40
+
+    merge_cdc_batch(spark, t, _cdc(spark, 40, 0, 0, 10, 20, "x"), lsn=2)
+    t.refresh()
+    publish_iceberg(spark, t, dest)
+    meta_dir = os.path.join(dest, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        assert f.read().strip() == "2"
+    assert os.path.exists(os.path.join(meta_dir, "v1.metadata.json"))
+    with open(os.path.join(meta_dir, "v2.metadata.json")) as f:
+        md = json.load(f)
+    assert md["metadata-log"] and md["metadata-log"][0]["metadata-file"].endswith(
+        "v1.metadata.json"
+    )
+    assert read_published(spark, dest).count() == 30
+
+
+def test_cli_publish(spark, tmp_path, capsys):
+    from moonlink_spark.__main__ import main
+
+    t = create_table(str(tmp_path / "src4"), IMAGES_SCHEMA)
+    from moonlink_spark.table.writer import write_data_files
+
+    t.commit(
+        "append",
+        added=write_data_files(
+            spark, _rows(spark, 25), t.new_data_dir(), field_id_schema=t.schema
+        ),
+        lsn=1,
+    )
+    dest = str(tmp_path / "pub4")
+    rc = main(["publish", str(tmp_path / "src4"), dest])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["published"] == dest and out["data_files"] >= 1
+    assert read_published(spark, dest).count() == 25
