@@ -62,12 +62,12 @@ _BROADCAST_CDC_ROWS = 1_000_000
 # uniform batch almost certainly touches every file anyway.
 _BLOOM_PROBE_MAX_KEYS = 2_000_000
 
-# Small-batch fast path: below this many winner rows, the batch statistics
-# (counts, per-column bounds, bucket set, skew, null check) AND the bloom
-# key hashes come back in ONE driver fetch (~300B/row ⇒ ≤30MB) instead of
-# one agg job plus one hash job — at streaming micro-batch cadence those
-# two near-empty 64-task jobs are a large slice of the merge fixed cost.
-_SMALL_BATCH_DRIVER_ROWS = 100_000
+# Bloom key hashes piggyback on the per-bucket stats aggregation as a
+# per-bucket collect_list CAPPED at this length (64 buckets × 50k × 8B ≈
+# 25MB driver ceiling). Complete for every batch whose largest bucket is
+# under the cap — the separate key-hash job the bloom probe used to run is
+# gone; a bucket that hits the cap simply falls back to that job.
+_BLOOM_HASHES_PER_BUCKET = 50_000
 
 # table property declaring the default MERGE mode ("eager" | "lazy") — the
 # per-table analog of moonlink's table-level config block
@@ -86,63 +86,6 @@ def _estimate_row_bytes(table: Table, override: int | None) -> int:
     if not rows:
         return 4096
     return max(64, sum(e.file_size_bytes for e in entries) // rows)
-
-
-def _small_batch_stats(winners, keys, boundable, null_key, buckets):
-    """ONE driver fetch replacing the stats-agg job AND the bloom key-hash
-    job for batches of at most ``_SMALL_BATCH_DRIVER_ROWS`` winner rows:
-    selects (keys, op, null-flag[, bucket, key-hash]) limited to cap+1 —
-    if the limit is hit the batch is large and the caller falls back to the
-    aggregate path (returns None; large batches amortize their two jobs).
-    Returns (n_cdc, n_up, n_null_key, bounds, batch_buckets, skew_ratio,
-    key_hashes)."""
-    import numpy as np
-    import pandas as pd
-
-    cols = [
-        *[F.col(k) for k in keys],
-        F.col(ORD_COL)["op"].alias("__op"),
-        null_key.cast("int").alias("__nullk"),
-    ]
-    if buckets:
-        cols.append(bucket_expr(keys, buckets).alias("__bk"))
-        cols.append(F.xxhash64(*[F.col(k) for k in keys]).alias("__h"))
-    pdf = winners.select(*cols).limit(_SMALL_BATCH_DRIVER_ROWS + 1).toPandas()
-    if len(pdf) > _SMALL_BATCH_DRIVER_ROWS:
-        return None
-    n_cdc = len(pdf)
-    n_up = int((pdf["__op"] == "U").sum())
-    n_null_key = int(pdf["__nullk"].sum())
-
-    def _py(v):
-        """pandas/numpy scalar → the plain Python value the Spark-row agg
-        path would have produced (F.lit must see native types)."""
-        if v is None or (isinstance(v, float) and v != v):
-            return None
-        if isinstance(v, np.generic):
-            v = v.item()
-        if isinstance(v, pd.Timestamp):
-            return v.to_pydatetime()
-        return v
-
-    bounds = []
-    for k in boundable:
-        s = pdf[k].dropna()
-        bounds.append(
-            (k, _py(s.min()), _py(s.max())) if len(s) else (k, None, None)
-        )
-    batch_buckets = None
-    skew_ratio = None
-    key_hashes = None
-    if buckets:
-        bk = pdf["__bk"]
-        batch_buckets = {int(b) for b in bk.unique()}
-        if n_cdc:
-            skew_ratio = round(
-                float(bk.value_counts().max()) * bk.nunique() / n_cdc, 3
-            )
-        key_hashes = pdf["__h"].to_numpy()
-    return n_cdc, n_up, n_null_key, bounds, batch_buckets, skew_ratio, key_hashes
 
 
 @dataclass
@@ -238,20 +181,23 @@ def merge_cdc_batch(
         *[F.max(k).alias(f"__hi_{k}") for k in boundable],
     ]
     skew_ratio = None
-    key_hashes = None  # filled by the small-batch path; else fetched later
-    small = _small_batch_stats(
-        winners, keys, boundable, null_key, buckets if use_layout else None
-    )
-    if small is not None:
-        (n_cdc, n_up, n_null_key, bounds, batch_buckets,
-         skew_ratio, key_hashes) = small
-    elif use_layout:
+    key_hashes = None  # piggybacked below when complete; else fetched later
+    if use_layout:
         # the SAME single job, grouped by key bucket: yields the batch's
         # bucket set, per-bucket row counts — the phash-hot-key skew signal
-        # the checkpoint metrics record — and global bounds folded from
-        # <= bucket-count tiny rows driver-side
+        # the checkpoint metrics record — global bounds folded from
+        # <= bucket-count tiny rows driver-side, AND the bloom probe's key
+        # hashes (capped per bucket) so no separate hash job runs
+        import numpy as np
+
+        aggs.append(
+            F.slice(
+                F.collect_list("__h"), 1, _BLOOM_HASHES_PER_BUCKET
+            ).alias("__hs")
+        )
         per_b = (
-            winners.groupBy(bucket_expr(keys, buckets).alias("__bk"))
+            winners.withColumn("__h", F.xxhash64(*[F.col(k) for k in keys]))
+            .groupBy(bucket_expr(keys, buckets).alias("__bk"))
             .agg(*aggs)
             .collect()
         )
@@ -268,6 +214,14 @@ def merge_cdc_batch(
         if n_cdc:
             skew_ratio = round(
                 max(r["n"] for r in per_b) * len(per_b) / n_cdc, 3
+            )
+        if all(r["n"] <= _BLOOM_HASHES_PER_BUCKET for r in per_b):
+            key_hashes = (
+                np.concatenate(
+                    [np.asarray(r["__hs"], dtype=np.int64) for r in per_b]
+                )
+                if per_b
+                else np.asarray([], dtype=np.int64)
             )
     else:
         agg = winners.agg(*aggs).collect()[0]
