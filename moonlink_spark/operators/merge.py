@@ -261,10 +261,13 @@ def merge_cdc_batch(
             # empty write task per input partition — and then footer-reading
             # the up-to-64 one-row files it emits — IS the merge fixed cost
             # at this size. A no-shuffle coalesce bounds the write to a few
-            # tasks sized by estimated bytes. Batches of at least one
-            # target file's worth keep their partitioning (the rule above).
+            # tasks sized by estimated bytes. Floor of 4, not 1: coalesce
+            # propagates up the plan, so a 1-task write would run the whole
+            # source + semi-join + zstd compression single-threaded (it
+            # measurably slowed event-ingest fixtures). Batches of at least
+            # one target file's worth keep their partitioning (rule above).
             ups = ups.coalesce(
-                max(1, int(est_bytes // (FLUSH_TARGET_BYTES // 8)) + 1)
+                max(4, int(est_bytes // (FLUSH_TARGET_BYTES // 8)) + 1)
             )
         entries = write_data_files(
             spark,
