@@ -546,15 +546,20 @@ class MoonlinkBatchReader(DataSourceReader):
             )
             for e in entries
         ]
-        # bin-pack small files into ~GROUP_TARGET_BYTES input splits (first
-        # fit in manifest order — files committed together stay together):
-        # bounds the partition count by table BYTES, not table FILES, so a
-        # fragmented 10^9-file table still reads through format("moonlink")
+        # bin-pack small files into byte-bounded input splits (first fit in
+        # manifest order — files committed together stay together): bounds
+        # the partition count by table BYTES, not table FILES, so a
+        # fragmented 10^9-file table still reads through format("moonlink").
+        # The split target scales down to keep >= ~64 splits on mid-size
+        # tables (a Python-worker read wants cluster-width parallelism) and
+        # caps at GROUP_TARGET_BYTES on large ones.
+        total = sum(size for size, _ in per_file)
+        target = min(GROUP_TARGET_BYTES, max(16 << 20, total // 64))
         out: list[MoonlinkPartition] = []
         cur: list[MoonlinkPartition] = []
         cur_bytes = 0
         for size, part in per_file:
-            if cur and cur_bytes + size > GROUP_TARGET_BYTES:
+            if cur and cur_bytes + size > target:
                 out.append(cur[0] if len(cur) == 1 else _group(cur))
                 cur, cur_bytes = [], 0
             cur.append(part)
