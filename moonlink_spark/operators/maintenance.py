@@ -124,6 +124,7 @@ class AutoMaintenanceReport:
     expire: object | None = None
     analyze: object | None = None
     cluster: object | None = None
+    publish: object | None = None
 
 
 def auto_optimize(
@@ -200,8 +201,47 @@ def auto_optimize(
 
     _maybe_auto_cluster(spark, table, report)
     _maybe_auto_analyze(spark, table, report)
+    _maybe_auto_publish(spark, table, report)
 
     return report
+
+
+#: table property: when set, auto maintenance keeps a genuine Apache
+#: Iceberg export of the table at this destination (operators/publish.py)
+#: — the batch analog of moonlink's CONTINUOUS mooncake→Iceberg sync
+#: (iceberg_table_syncer.rs:505-596: every snapshot lands in Iceberg).
+PUBLISH_DEST_PROP = "moonlink.publish.dest"
+
+
+def _maybe_auto_publish(spark, table, report):
+    """Re-export the table as Iceberg when the published snapshot is
+    behind the current one. Skip detection reads the DESTINATION's own
+    version-hint/metadata — no state is kept on the source table, so a
+    wiped or re-pointed destination simply republishes."""
+    import json as _json
+    import os as _os
+
+    dest = table.md.properties.get(PUBLISH_DEST_PROP)
+    if not dest:
+        return
+    from moonlink_spark.operators.publish import publish_iceberg
+
+    table.refresh()
+    cur = table.head_snapshot()
+    if cur is None:
+        return
+    hint = _os.path.join(dest, "metadata", "version-hint.text")
+    try:
+        with open(hint) as f:
+            v = int(f.read().strip())
+        with open(_os.path.join(dest, "metadata", f"v{v}.metadata.json")) as f:
+            published = _json.load(f)["current-snapshot-id"]
+    except (OSError, ValueError, KeyError):
+        published = None
+    if published == cur.snapshot_id:
+        return
+    report.publish = publish_iceberg(spark, table, dest)
+    report.triggered.append("publish")
 
 
 def _maybe_auto_cluster(spark, table, report):

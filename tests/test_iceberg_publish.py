@@ -390,3 +390,42 @@ def test_cli_publish(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["published"] == dest and out["data_files"] >= 1
     assert read_published(spark, dest).count() == 25
+
+
+def test_auto_maintenance_keeps_published_table_fresh(spark, tmp_path):
+    """moonlink's core loop CONTINUOUSLY syncs the table to Iceberg
+    (iceberg_table_syncer.rs:505-596); the batch analog: a table with
+    moonlink.publish.dest set republishes during auto maintenance whenever
+    the export is behind, and skips when it is current."""
+    from moonlink_spark.operators.maintenance import (
+        PUBLISH_DEST_PROP,
+        auto_optimize,
+    )
+    from moonlink_spark.table.writer import write_data_files
+
+    dest = str(tmp_path / "pub_auto")
+    t = create_table(
+        str(tmp_path / "src5"), IMAGES_SCHEMA,
+        properties={PUBLISH_DEST_PROP: dest},
+    )
+    t.commit(
+        "append",
+        added=write_data_files(
+            spark, _rows(spark, 60), t.new_data_dir(), field_id_schema=t.schema
+        ),
+        lsn=1,
+    )
+    rep = auto_optimize(spark, t)
+    assert "publish" in rep.triggered
+    assert read_published(spark, dest).count() == 60
+
+    # current export → second tick is a publish no-op
+    rep2 = auto_optimize(spark, t)
+    assert "publish" not in rep2.triggered
+
+    # new commit → the next tick refreshes the export
+    merge_cdc_batch(spark, t, _cdc(spark, 60, 0, 0, 10, 30, "y"), lsn=2)
+    rep3 = auto_optimize(spark, t)
+    assert "publish" in rep3.triggered
+    t.refresh()
+    assert read_published(spark, dest).count() == scan(spark, t).count()
