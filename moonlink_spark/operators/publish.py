@@ -764,3 +764,56 @@ def read_published(spark: SparkSession, location: str) -> DataFrame:
 
 def _strip_scheme(p: str) -> str:
     return p[len("file:"):] if p.startswith("file:") else p
+
+
+# ----------------------------------------------------------------- import
+
+
+def import_iceberg(
+    spark: SparkSession,
+    src_location: str,
+    dest_location: str,
+    properties: dict | None = None,
+) -> Table:
+    """The reverse direction: adopt an Iceberg v2 table (the published
+    format — version-hint/metadata.json/Avro manifests) as a NEW engine
+    table at ``dest_location``, so a user can move an existing Iceberg
+    table under this engine's maintenance (the switch-over path a
+    reference user needs).
+
+    - A snapshot with NO live delete files imports zero-copy: the data
+      files are adopted in place (`operators/ingest.add_files` — schema
+      validated per distinct footer, foreign field ids forced onto the
+      name-resolved branch).
+    - A snapshot WITH live deletes is materialized: rows are read through
+      ``read_published`` (v2 delete semantics applied) and written as
+      fresh engine data files — deletes do not survive as metadata, the
+      surviving ROWS do.
+    """
+    from moonlink_spark.operators.ingest import add_files
+    from moonlink_spark.table.catalog import create_table
+    from moonlink_spark.table.writer import write_data_files
+
+    md, data_entries, delete_entries = _load_published(src_location)
+    fields = md["schemas"][md["current-schema-id"]]["fields"]
+    from pyspark.sql.types import StructField
+
+    schema = StructType(
+        [
+            StructField(f["name"], _spark_type(f["type"]), not f["required"])
+            for f in fields
+        ]
+    )
+    t = create_table(dest_location, schema, properties=properties)
+    lsn = 1
+    if not delete_entries:
+        add_files(
+            spark, t, [e["data_file"]["file_path"] for e in data_entries], lsn=lsn
+        )
+    else:
+        df = read_published(spark, src_location)
+        entries = write_data_files(
+            spark, df, t.new_data_dir(), field_id_schema=t.schema
+        )
+        t.commit("append", added=entries, lsn=lsn)
+    return t.refresh()

@@ -429,3 +429,38 @@ def test_auto_maintenance_keeps_published_table_fresh(spark, tmp_path):
     assert "publish" in rep3.triggered
     t.refresh()
     assert read_published(spark, dest).count() == scan(spark, t).count()
+
+
+def test_import_iceberg_roundtrip(spark, tmp_path):
+    """Switch-over path: an Iceberg table comes UNDER engine maintenance.
+    Zero-copy adoption when the snapshot has no deletes; materialized
+    import (rows survive, delete metadata resolved) when it does."""
+    from moonlink_spark.operators.publish import import_iceberg
+
+    # with deletes -> materialized
+    t, res = _mk_published(spark, tmp_path)
+    imp = import_iceberg(spark, res.location, str(tmp_path / "imp1"))
+    got = scan(spark, imp).select(*COLS).orderBy("image_id").collect()
+    want = scan(spark, t).select(*COLS).orderBy("image_id").collect()
+    assert got == want
+
+    # delete-free -> zero-copy adoption (same file paths referenced)
+    t2 = create_table(str(tmp_path / "plain"), IMAGES_SCHEMA)
+    from moonlink_spark.table.writer import write_data_files
+
+    t2.commit(
+        "append",
+        added=write_data_files(
+            spark, _rows(spark, 80), t2.new_data_dir(), field_id_schema=t2.schema
+        ),
+        lsn=1,
+    )
+    pub2 = publish_iceberg(spark, t2, str(tmp_path / "pub_plain"))
+    imp2 = import_iceberg(spark, pub2.location, str(tmp_path / "imp2"))
+    assert scan(spark, imp2).count() == 80
+    src_paths = {e.path for e in t2.data_entries()}
+    assert {e.path for e in imp2.data_entries()} == src_paths  # zero copy
+
+    # and the imported table is a full engine citizen: MERGE works on it
+    merge_cdc_batch(spark, imp2, _cdc(spark, 80, 0, 0, 10, 20, "z"), lsn=2)
+    assert scan(spark, imp2.refresh()).count() == 70
