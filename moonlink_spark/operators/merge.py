@@ -225,7 +225,10 @@ def merge_cdc_batch(
             )
     else:
         agg = winners.agg(*aggs).collect()[0]
-        n_cdc, n_up, n_null_key = agg["n"], agg["n_up"], agg["n_null_key"]
+        # empty batch: count is 0 but the SUM aggregates come back NULL
+        n_cdc = int(agg["n"] or 0)
+        n_up = int(agg["n_up"] or 0)
+        n_null_key = int(agg["n_null_key"] or 0)
         batch_buckets = None
         bounds = [(k, agg[f"__lo_{k}"], agg[f"__hi_{k}"]) for k in boundable]
     # A NULL identity column has no identity to upsert/delete against
